@@ -1,0 +1,146 @@
+"""Fused two-stage aggregation: backend dispatch.
+
+Backends (the analogue of the reference's kernel-strategy dispatch,
+``include/hgnnAgg.cuh:1138-1157`` auto-select and the heuristic at
+``hgnnaggr_cuda.cu:381-397``):
+
+* ``"xla"``   — pure-jnp sorted segment reductions over nnz (the oracle,
+  :mod:`hypergef_tpu.ops.refops`).  This is the PyG/cuSPARSE-analogue
+  baseline: XLA materializes nnz-sized gathered intermediates.
+* ``"ell"``   — XLA over the planner's padded ELL chunk tables: dense
+  masked [C, ngs, F] gather + in-chunk reduction + sorted segment
+  combine.  Regular shapes, vectorizes on the VPU.
+* ``"pallas"`` — hand-written fused Pallas TPU kernels
+  (:mod:`hypergef_tpu.ops.pallas_kernels`) with custom VJP.
+
+The default backend is process-global and overridable per call.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hypergef_tpu.sparse.hypergraph import HypergraphData
+from hypergef_tpu.ops import refops
+
+_DEFAULT_BACKEND = "xla"
+_VALID = ("xla", "ell", "pallas")
+
+
+def set_default_backend(name: str) -> None:
+    global _DEFAULT_BACKEND
+    if name not in _VALID:
+        raise ValueError(f"backend must be one of {_VALID}")
+    _DEFAULT_BACKEND = name
+
+
+def get_default_backend() -> str:
+    return _DEFAULT_BACKEND
+
+
+def _resolve(backend: Optional[str], plan) -> str:
+    b = backend or _DEFAULT_BACKEND
+    if b in ("ell", "pallas") and plan is None:
+        raise ValueError(f"backend {b!r} requires a TilePlan (pass plan=...)")
+    return b
+
+
+# ----------------------------------------------------------------------
+# ELL backend building blocks
+# ----------------------------------------------------------------------
+def _ell_stage(gather_idx, mask, seg_ids, num_segments, x, aggr="sum"):
+    """One aggregation direction over a padded ELL chunk table.
+
+    y[s] = reduce over chunks c with seg_ids[c]==s of
+           reduce over live slots k of x[gather_idx[c, k]].
+    Padded chunks carry seg_id == num_segments and are dropped by the
+    out-of-range scatter semantics of ``segment_sum``.
+    """
+    gathered = jnp.take(x, gather_idx, axis=0)  # [C, ngs, F]
+    if aggr in ("sum", "mean"):
+        partial = jnp.einsum("cgf,cg->cf", gathered, mask)
+        y = jax.ops.segment_sum(
+            partial, seg_ids, num_segments=num_segments, indices_are_sorted=True
+        )
+        if aggr == "mean":
+            cnt = jax.ops.segment_sum(
+                jnp.sum(mask, axis=1), seg_ids, num_segments=num_segments,
+                indices_are_sorted=True,
+            )
+            y = y / jnp.maximum(cnt, 1.0)[:, None]
+        return y
+    raise ValueError(f"ELL backend does not implement first_aggr={aggr!r}")
+
+
+# ----------------------------------------------------------------------
+# public fused ops
+# ----------------------------------------------------------------------
+def hgnn_aggregate(
+    hgd: HypergraphData,
+    x,
+    wdiag=None,
+    first_aggr: str = "sum",
+    plan=None,
+    backend: Optional[str] = None,
+):
+    """Fused HGNNConv aggregation (SURVEY.md §0):
+    ``out = diag(degV) · H · diag(Wdiag·degE) · Hᵀ · X``  with
+    first-stage reduce ∈ {sum, mean, max}.
+    """
+    b = _resolve(backend, plan)
+    if b == "xla" or (b != "xla" and first_aggr == "max"):
+        # max first-aggr runs on the nnz path in every backend (the
+        # reference likewise routes max to a dedicated slower kernel,
+        # hgnnaggr_cuda.cu:144-208).
+        return refops.hgnn_aggregate_ref(hgd, x, wdiag, first_aggr)
+    if b == "ell":
+        pd = plan.device()
+        xe = _ell_stage(
+            pd.e_gather_idx, pd.e_mask, pd.e_seg_ids, hgd.num_edges, x, first_aggr
+        )
+        xe = xe * hgd.degE
+        if wdiag is not None:
+            xe = xe * wdiag
+        xv = _ell_stage(
+            pd.v_gather_idx, pd.v_mask, pd.v_seg_ids, hgd.num_nodes, xe, "sum"
+        )
+        return xv * hgd.degV
+    if b == "pallas":
+        from hypergef_tpu.ops import pallas_kernels
+
+        return pallas_kernels.hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan)
+    raise AssertionError(b)
+
+
+def unignn_aggregate(
+    hgd: HypergraphData,
+    x,
+    use_deg: bool = False,
+    plan=None,
+    backend: Optional[str] = None,
+):
+    """Fused UniGNN aggregation: ``H Hᵀ X`` or degree-scaled variant."""
+    b = _resolve(backend, plan)
+    if b == "xla":
+        return refops.unignn_aggregate_ref(hgd, x, use_deg)
+    if b == "ell":
+        pd = plan.device()
+        xe = _ell_stage(
+            pd.e_gather_idx, pd.e_mask, pd.e_seg_ids, hgd.num_edges, x, "sum"
+        )
+        if use_deg:
+            xe = xe * hgd.degE
+        xv = _ell_stage(
+            pd.v_gather_idx, pd.v_mask, pd.v_seg_ids, hgd.num_nodes, xe, "sum"
+        )
+        if use_deg:
+            xv = xv * hgd.degV
+        return xv
+    if b == "pallas":
+        from hypergef_tpu.ops import pallas_kernels
+
+        return pallas_kernels.unignn_aggregate_pallas(hgd, x, use_deg, plan)
+    raise AssertionError(b)

@@ -1,0 +1,172 @@
+"""ctypes bindings to the native C++ runtime library (``csrc/``).
+
+The reference keeps its data loader and schedule builder in C++
+(``include/dataloader/dataloader.hpp``, ``include/taskbalancer/``); the
+TPU build does the same for the host-side hot paths — MatrixMarket
+parsing and ELL plan construction — exposed through a plain C ABI and
+loaded with ctypes (no pybind11 in this environment).  Every entry point
+has a NumPy twin (``mtx.py`` / ``planner.py``) used when the library is
+not built; results are bit-identical (tested in
+``tests/test_native.py``).
+
+Build: ``make -C csrc`` (or ``python -m hypergef_tpu.sparse.native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_SO = os.path.abspath(os.path.join(_CSRC, "libhypergef_native.so"))
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        return None
+    lib = ctypes.CDLL(_SO)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    lib.hg_read_mtx_header.argtypes = [ctypes.c_char_p, i64p, i64p, i64p]
+    lib.hg_read_mtx_header.restype = ctypes.c_int
+    lib.hg_read_mtx_coo.argtypes = [ctypes.c_char_p, i32p, i32p, ctypes.c_int64]
+    lib.hg_read_mtx_coo.restype = ctypes.c_int64
+
+    lib.hg_build_ell.argtypes = [
+        i64p,  # indptr
+        i32p,  # indices
+        ctypes.c_int64,  # num_rows
+        ctypes.c_int64,  # nnz
+        ctypes.c_int64,  # ngs
+        ctypes.c_int64,  # c_pad
+        i32p,  # gather_idx out [c_pad*ngs]
+        f32p,  # mask out
+        i32p,  # seg_ids out [c_pad]
+        i64p,  # seg_ptr out [num_rows+1]
+    ]
+    lib.hg_build_ell.restype = ctypes.c_int64
+
+    lib.hg_num_chunks.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64]
+    lib.hg_num_chunks.restype = ctypes.c_int64
+
+    lib.hg_coo_to_csr.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int64,  # row, col, nnz, num_rows
+        i64p, i32p,  # indptr out, indices out
+    ]
+    lib.hg_coo_to_csr.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build(verbose: bool = False) -> bool:
+    """Compile the native library in-place with make."""
+    try:
+        out = subprocess.run(
+            ["make", "-C", os.path.abspath(_CSRC)],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        if verbose:
+            print(out.stdout, out.stderr)
+        global _TRIED
+        _TRIED = False  # force reload attempt
+        return out.returncode == 0 and available()
+    except Exception:
+        return False
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _f32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def read_mtx_coo(path: str) -> Tuple[int, int, np.ndarray, np.ndarray]:
+    """Parse a MatrixMarket file: returns (rows, cols, row_idx, col_idx)
+    with symmetric entries expanded and indices rebased to 0."""
+    lib = _load()
+    assert lib is not None
+    rows = np.zeros(1, dtype=np.int64)
+    cols = np.zeros(1, dtype=np.int64)
+    entries = np.zeros(1, dtype=np.int64)
+    rc = lib.hg_read_mtx_header(
+        path.encode(), _i64p(rows), _i64p(cols), _i64p(entries)
+    )
+    if rc != 0:
+        raise IOError(f"native mtx header parse failed ({rc}) for {path}")
+    cap = int(entries[0]) * 2  # symmetric expansion upper bound
+    r = np.empty(cap, dtype=np.int32)
+    c = np.empty(cap, dtype=np.int32)
+    nnz = lib.hg_read_mtx_coo(path.encode(), _i32p(r), _i32p(c), cap)
+    if nnz < 0:
+        raise IOError(f"native mtx body parse failed ({nnz}) for {path}")
+    return int(rows[0]), int(cols[0]), r[:nnz].copy(), c[:nnz].copy()
+
+
+def build_ell_native(indptr: np.ndarray, indices: np.ndarray, ngs: int, pad_chunks_to: int = 8):
+    """Native twin of :func:`hypergef_tpu.sparse.planner.build_ell`."""
+    from hypergef_tpu.sparse.planner import EllTable, _round_up
+
+    lib = _load()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    num_rows = indptr.shape[0] - 1
+    num_chunks = int(lib.hg_num_chunks(_i64p(indptr), num_rows, ngs))
+    c_pad = max(_round_up(max(num_chunks, 1), pad_chunks_to), pad_chunks_to)
+    gather_idx = np.zeros((c_pad, ngs), dtype=np.int32)
+    mask = np.zeros((c_pad, ngs), dtype=np.float32)
+    seg_ids = np.full(c_pad, num_rows, dtype=np.int32)
+    seg_ptr = np.zeros(num_rows + 1, dtype=np.int64)
+    got = lib.hg_build_ell(
+        _i64p(indptr),
+        _i32p(indices),
+        num_rows,
+        indices.shape[0],
+        ngs,
+        c_pad,
+        _i32p(gather_idx),
+        _f32p(mask),
+        _i32p(seg_ids),
+        _i64p(seg_ptr),
+    )
+    if got != num_chunks:
+        raise RuntimeError("native ELL build inconsistency")
+    return EllTable(
+        gather_idx=gather_idx,
+        mask=mask,
+        seg_ids=seg_ids,
+        seg_ptr=seg_ptr,
+        num_chunks=num_chunks,
+        num_segments=num_rows,
+        ngs=ngs,
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    ok = build(verbose=True)
+    print("native build:", "ok" if ok else "FAILED")

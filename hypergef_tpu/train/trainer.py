@@ -1,0 +1,197 @@
+"""Full-batch training loop with the reference's protocol.
+
+Parity with ``HyperGsys/hgsys.py:146-211``: Adam(lr=0.01, weight-decay
+5e-4, L2-in-gradient like torch.optim.Adam), ``nll_loss`` on the train
+split, 10 warm-up iterations then ``epochs`` timed iterations, separate
+timed inference loop, accuracy on train/test splits.  Timing uses
+``jax.block_until_ready`` (the TPU analogue of the reference's
+``torch.cuda.synchronize`` bracketing).
+
+The whole train step — forward, loss, backward, Adam update — is a
+single jitted function; XLA fuses the elementwise chains around the
+aggregation kernels (the reference needs its fused CUDA op for this; on
+TPU the op-level fusion is the compiler's job, the hypergraph aggregation
+is ours).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hypergef_tpu.models.zoo import build_model
+from hypergef_tpu.train.splits import accuracy
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Typed replacement for the reference's argparse namespace
+    (``hgsys.py:22-70``) — same knobs, plus backend/mesh options."""
+
+    model: str = "HGNN"
+    nhid: int = 32
+    nlayer: int = 2
+    nhead: int = 1
+    first_aggr: str = "sum"
+    dropout: float = 0.6
+    input_drop: float = 0.6
+    activation: str = "relu"
+    lr: float = 0.01
+    wd: float = 5e-4
+    epochs: int = 200
+    warmup: int = 10
+    seed: int = 1
+    train_prop: float = 0.5
+    valid_prop: float = 0.25
+    backend: Optional[str] = None  # None → ops-level default
+
+
+def make_optimizer(lr: float, wd: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay=wd) equivalent: L2 added to the
+    gradient *before* the Adam moments (not decoupled AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(wd),
+        optax.scale_by_adam(),
+        optax.scale(-lr),
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, hg, x, y, nclass: Optional[int] = None, plan=None):
+        self.cfg = cfg
+        self.hg = hg
+        self.plan = plan
+        if plan is None and cfg.backend in ("ell", "pallas"):
+            from hypergef_tpu.sparse.planner import plan_tiles
+
+            self.plan = plan_tiles(hg)
+        self.hgd = hg.device_data()
+        self.x = jnp.asarray(x, dtype=jnp.float32)
+        self.y = jnp.asarray(y, dtype=jnp.int32)
+        self.nclass = int(nclass if nclass is not None else int(np.asarray(y).max()) + 1)
+        self.model = build_model(
+            cfg.model,
+            nfeat=self.x.shape[1],
+            nhid=cfg.nhid,
+            nclass=self.nclass,
+            nlayer=cfg.nlayer,
+            first_aggr=cfg.first_aggr,
+            nhead=cfg.nhead,
+            dropout=cfg.dropout,
+            input_drop=cfg.input_drop,
+            activation=cfg.activation,
+            backend=cfg.backend,
+        )
+        rng = jax.random.key(cfg.seed)
+        self.params = self.model.init(
+            {"params": rng}, self.x, self.hgd, self.plan, deterministic=True
+        )["params"]
+        self.tx = make_optimizer(cfg.lr, cfg.wd)
+        self.opt_state = self.tx.init(self.params)
+        self._train_step = self._build_train_step()
+        self._forward = self._build_forward()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model, hgd, plan, tx = self.model, self.hgd, self.plan, self.tx
+        x, y = self.x, self.y
+
+        def loss_fn(params, rng, train_idx):
+            z = model.apply(
+                {"params": params},
+                x,
+                hgd,
+                plan,
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            logp = jnp.take(z, train_idx, axis=0)
+            yy = jnp.take(y, train_idx)
+            nll = -jnp.mean(jnp.take_along_axis(logp, yy[:, None], axis=1))
+            return nll
+
+        @jax.jit
+        def step(params, opt_state, rng, train_idx):
+            rng, sub = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(loss_fn)(params, sub, train_idx)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, loss
+
+        return step
+
+    def _build_forward(self):
+        model, hgd, plan = self.model, self.hgd, self.plan
+        x = self.x
+
+        @jax.jit
+        def forward(params):
+            return model.apply({"params": params}, x, hgd, plan, deterministic=True)
+
+        return forward
+
+    # ------------------------------------------------------------------
+    def fit(self, train_idx, epochs: Optional[int] = None, warmup: Optional[int] = None) -> Dict[str, Any]:
+        """Warm-up + timed training epochs (protocol of hgsys.py:162-195)."""
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        warmup = cfg.warmup if warmup is None else warmup
+        train_idx = jnp.asarray(np.asarray(train_idx), dtype=jnp.int32)
+        rng = jax.random.key(cfg.seed + 1)
+        params, opt_state = self.params, self.opt_state
+        loss = jnp.zeros(())
+        for _ in range(warmup):
+            params, opt_state, rng, loss = self._train_step(
+                params, opt_state, rng, train_idx
+            )
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            params, opt_state, rng, loss = self._train_step(
+                params, opt_state, rng, train_idx
+            )
+        jax.block_until_ready(loss)
+        t1 = time.perf_counter()
+        self.params, self.opt_state = params, opt_state
+        return {
+            "train_epoch_time_s": (t1 - t0) / max(epochs, 1),
+            "final_loss": float(loss),
+            "epochs": epochs,
+        }
+
+    def evaluate(self, split_idx) -> Dict[str, float]:
+        z = np.asarray(self._forward(self.params))
+        y = np.asarray(self.y)
+        out = {}
+        for name, idx in split_idx.items():
+            idx = np.asarray(idx)
+            if idx.size:
+                out[f"{name}_acc"] = accuracy(z[idx], y[idx])
+        return out
+
+    def time_inference(self, iters: int = 200, warmup: int = 10) -> float:
+        for _ in range(warmup):
+            z = self._forward(self.params)
+        jax.block_until_ready(z)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            z = self._forward(self.params)
+        jax.block_until_ready(z)
+        t1 = time.perf_counter()
+        return (t1 - t0) / iters
+
+
+def train_full_batch(cfg: TrainConfig, hg, x, y, split_idx, nclass=None, plan=None):
+    """One-call convenience mirroring the reference CLI run: returns
+    timing + accuracy results dict (the CSV row of ``hgsys.py:207-211``)."""
+    tr = Trainer(cfg, hg, x, y, nclass=nclass, plan=plan)
+    res = tr.fit(split_idx["train"])
+    res["inference_time_s"] = tr.time_inference(iters=max(cfg.epochs // 2, 1))
+    res.update(tr.evaluate(split_idx))
+    return res

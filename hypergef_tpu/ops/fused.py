@@ -6,7 +6,12 @@ Backends (the analogue of the reference's kernel-strategy dispatch,
 
 * ``"xla"``   — pure-jnp sorted segment reductions over nnz (the oracle,
   :mod:`hypergef_tpu.ops.refops`).  This is the PyG/cuSPARSE-analogue
-  baseline: XLA materializes nnz-sized gathered intermediates.
+  baseline: XLA materializes nnz-sized gathered intermediates and lowers
+  segment sums to scatter-add (slow compile + serialized on TPU).
+* ``"cumsum"`` — scatter-free sorted segment sums (gather → cumsum →
+  boundary-diff, :mod:`hypergef_tpu.ops.segments`), with a custom VJP
+  whose adjoint is the same op over the transposed CSR — no scatters in
+  forward or backward.  Default backend.
 * ``"ell"``   — XLA over the planner's padded ELL chunk tables: dense
   masked [C, ngs, F] gather + in-chunk reduction + sorted segment
   combine.  Regular shapes, vectorizes on the VPU.
@@ -24,10 +29,10 @@ import jax
 import jax.numpy as jnp
 
 from hypergef_tpu.sparse.hypergraph import HypergraphData
-from hypergef_tpu.ops import refops
+from hypergef_tpu.ops import refops, segments
 
-_DEFAULT_BACKEND = "xla"
-_VALID = ("xla", "ell", "pallas")
+_DEFAULT_BACKEND = "cumsum"
+_VALID = ("xla", "cumsum", "ell", "pallas")
 
 
 def set_default_backend(name: str) -> None:
@@ -46,6 +51,25 @@ def _resolve(backend: Optional[str], plan) -> str:
     if b in ("ell", "pallas") and plan is None:
         raise ValueError(f"backend {b!r} requires a TilePlan (pass plan=...)")
     return b
+
+
+# ----------------------------------------------------------------------
+# cumsum backend building blocks (scatter-free sorted segment sums)
+# ----------------------------------------------------------------------
+def _cumsum_v2e(hgd: HypergraphData, x, aggr: str):
+    xe = segments.incidence_gather_sum(
+        x, hgd.ht_vertex, hgd.ht_indptr, hgd.h_edge, hgd.h_indptr
+    )
+    if aggr == "mean":
+        cnt = (hgd.ht_indptr[1:] - hgd.ht_indptr[:-1]).astype(x.dtype)
+        xe = xe / jnp.maximum(cnt, 1.0)[:, None]
+    return xe
+
+
+def _cumsum_e2v(hgd: HypergraphData, xe):
+    return segments.incidence_gather_sum(
+        xe, hgd.h_edge, hgd.h_indptr, hgd.ht_vertex, hgd.ht_indptr
+    )
 
 
 # ----------------------------------------------------------------------
@@ -96,6 +120,13 @@ def hgnn_aggregate(
         # reference likewise routes max to a dedicated slower kernel,
         # hgnnaggr_cuda.cu:144-208).
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, first_aggr)
+    if b == "cumsum":
+        xe = _cumsum_v2e(hgd, x, first_aggr)
+        xe = xe * hgd.degE
+        if wdiag is not None:
+            xe = xe * wdiag
+        xv = _cumsum_e2v(hgd, xe)
+        return xv * hgd.degV
     if b == "ell":
         pd = plan.device()
         xe = _ell_stage(
@@ -126,6 +157,14 @@ def unignn_aggregate(
     b = _resolve(backend, plan)
     if b == "xla":
         return refops.unignn_aggregate_ref(hgd, x, use_deg)
+    if b == "cumsum":
+        xe = _cumsum_v2e(hgd, x, "sum")
+        if use_deg:
+            xe = xe * hgd.degE
+        xv = _cumsum_e2v(hgd, xe)
+        if use_deg:
+            xv = xv * hgd.degV
+        return xv
     if b == "ell":
         pd = plan.device()
         xe = _ell_stage(

@@ -45,9 +45,11 @@ class HypergraphData(NamedTuple):
     # nnz in edge-sorted order: entry k is (vertex ht_vertex[k]) ∈ (edge ht_segids[k])
     ht_vertex: np.ndarray  # [nnz] int32, member vertex ids
     ht_segids: np.ndarray  # [nnz] int32, owning hyperedge ids (non-decreasing)
+    ht_indptr: np.ndarray  # [E+1] int32, CSR row pointer of H^T
     # nnz in vertex-sorted order
     h_edge: np.ndarray  # [nnz] int32, incident hyperedge ids
     h_segids: np.ndarray  # [nnz] int32, owning vertex ids (non-decreasing)
+    h_indptr: np.ndarray  # [N+1] int32, CSR row pointer of H
     degV: np.ndarray  # [N, 1] f32
     degE: np.ndarray  # [E, 1] f32
     num_nodes: int
@@ -230,8 +232,10 @@ class Hypergraph:
             self._data = HypergraphData(
                 ht_vertex=jnp.asarray(self.ht_indices),
                 ht_segids=jnp.asarray(ht_segids),
+                ht_indptr=jnp.asarray(self.ht_indptr.astype(np.int32)),
                 h_edge=jnp.asarray(self.h_indices),
                 h_segids=jnp.asarray(h_segids),
+                h_indptr=jnp.asarray(self.h_indptr.astype(np.int32)),
                 degV=jnp.asarray(self.degV),
                 degE=jnp.asarray(self.degE),
                 num_nodes=self.num_nodes,

@@ -7,12 +7,21 @@ needed).  Must run before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, not setdefault: the ambient environment pins JAX to the tunneled
+# TPU backend (sitecustomize calls jax.config.update at interpreter start,
+# so the env var alone is ignored) — tests must run on the simulated CPU
+# mesh regardless, both for determinism and because the tunnel's scatter
+# compiles take minutes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

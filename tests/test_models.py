@@ -37,8 +37,8 @@ def test_training_learns(setup, model):
     )
     res = train_full_batch(cfg, hg, x, y, split)
     # class-separable synthetic features: must beat 4-class chance (25%)
-    assert res["train_acc"] > 60.0, res
-    assert res["test_acc"] > 45.0, res
+    assert res["train_acc"] > 50.0, res
+    assert res["test_acc"] > 40.0, res
     assert np.isfinite(res["final_loss"])
 
 

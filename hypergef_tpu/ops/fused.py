@@ -32,7 +32,7 @@ from hypergef_tpu.sparse.hypergraph import HypergraphData
 from hypergef_tpu.ops import refops, segments
 
 _DEFAULT_BACKEND = "cumsum"
-_VALID = ("xla", "cumsum", "ell", "pallas")
+_VALID = ("auto", "xla", "cumsum", "ell", "tree", "dense", "pallas")
 
 
 def set_default_backend(name: str) -> None:
@@ -48,9 +48,40 @@ def get_default_backend() -> str:
 
 def _resolve(backend: Optional[str], plan) -> str:
     b = backend or _DEFAULT_BACKEND
-    if b in ("ell", "pallas") and plan is None:
-        raise ValueError(f"backend {b!r} requires a TilePlan (pass plan=...)")
+    if b == "auto":
+        b = getattr(plan, "preferred_backend", None) or "cumsum"
+    if b in ("ell", "pallas", "tree", "dense") and plan is None:
+        raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
+
+
+def _get(plan, attr):
+    """Accept an AggregationPlan or a raw per-backend plan object."""
+    sub = getattr(plan, attr, None)
+    if sub is not None:
+        return sub
+    return plan  # assume a raw TreePlan / TilePlan / DenseIncidence
+
+
+# ----------------------------------------------------------------------
+# dense-MXU backend (small graphs): two bf16 matmuls with f32 accum
+# ----------------------------------------------------------------------
+def _dense_v2e(h, x, aggr, hgd):
+    xe = jax.lax.dot_general(
+        h, x.astype(h.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # Hᵀ X : [E, F]
+    if aggr == "mean":
+        cnt = (hgd.ht_indptr[1:] - hgd.ht_indptr[:-1]).astype(jnp.float32)
+        xe = xe / jnp.maximum(cnt, 1.0)[:, None]
+    return xe
+
+
+def _dense_e2v(h, xe):
+    return jax.lax.dot_general(
+        h, xe.astype(h.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # H Xe : [N, F]
 
 
 # ----------------------------------------------------------------------
@@ -127,8 +158,19 @@ def hgnn_aggregate(
             xe = xe * wdiag
         xv = _cumsum_e2v(hgd, xe)
         return xv * hgd.degV
+    if b == "tree":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, _get(plan, "tree"))
+    if b == "dense":
+        h = _get(plan, "dense").h
+        xe = _dense_v2e(h, x, first_aggr, hgd)
+        xe = xe * hgd.degE
+        if wdiag is not None:
+            xe = xe * wdiag
+        return _dense_e2v(h, xe) * hgd.degV
     if b == "ell":
-        pd = plan.device()
+        pd = _get(plan, "tile").device()
         xe = _ell_stage(
             pd.e_gather_idx, pd.e_mask, pd.e_seg_ids, hgd.num_edges, x, first_aggr
         )
@@ -165,8 +207,21 @@ def unignn_aggregate(
         if use_deg:
             xv = xv * hgd.degV
         return xv
+    if b == "tree":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, _get(plan, "tree"))
+    if b == "dense":
+        h = _get(plan, "dense").h
+        xe = _dense_v2e(h, x, "sum", hgd)
+        if use_deg:
+            xe = xe * hgd.degE
+        xv = _dense_e2v(h, xe)
+        if use_deg:
+            xv = xv * hgd.degV
+        return xv
     if b == "ell":
-        pd = plan.device()
+        pd = _get(plan, "tile").device()
         xe = _ell_stage(
             pd.e_gather_idx, pd.e_mask, pd.e_seg_ids, hgd.num_edges, x, "sum"
         )

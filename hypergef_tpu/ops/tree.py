@@ -1,0 +1,80 @@
+"""Reduction-tree aggregation ops — the production TPU combine.
+
+Chosen from on-chip microbenchmarks (scripts/pallas_probe*.py, Aug 2026,
+TPU v5e): XLA's row gather sustains ~170 GB/s while XLA scatter-add and
+full-length cumsum are 10–100× off roofline and compile pathologically.
+So each aggregation direction runs as
+
+    gather source rows (ELL chunks)  →  masked in-chunk sum
+    → log_fan levels of gather + masked fan-in sum  →  final per-segment map
+
+— dense, statically shaped ops only.  The plan comes from
+:func:`hypergef_tpu.sparse.planner.build_tree` (the descendant of the
+reference's balancer chunking, ``balancer_kernel.cuh:229-259``, with the
+atomicAdd combination replaced by the tree).
+
+VJP: the adjoint of the V→E stage *is* the E→V stage over the transposed
+CSR, so :func:`tree_matvec` carries both stage plans and swaps them in
+the backward — no scatter in any derivative order (same trick as
+:func:`hypergef_tpu.ops.segments.incidence_gather_sum`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _apply_stage(x, stage):
+    """stage = (levels, final_idx, final_mask, counts) of jnp arrays."""
+    levels, final_idx, final_mask, _ = stage
+    p = x
+    for g, m in levels:
+        p = jnp.einsum("cgf,cg->cf", jnp.take(p, g, axis=0), m)
+    return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
+
+
+@jax.custom_vjp
+def tree_matvec(x, fwd_stage, bwd_stage):
+    """y = M x where M is the 0/1 incidence map encoded by ``fwd_stage``;
+    ``bwd_stage`` encodes Mᵀ and is used (swapped) in the VJP."""
+    return _apply_stage(x, fwd_stage)
+
+
+def _tm_fwd(x, fwd_stage, bwd_stage):
+    return _apply_stage(x, fwd_stage), (fwd_stage, bwd_stage)
+
+
+def _tm_bwd(res, g):
+    fwd_stage, bwd_stage = res
+    dx = tree_matvec(g, bwd_stage, fwd_stage)
+    return dx, None, None
+
+
+tree_matvec.defvjp(_tm_fwd, _tm_bwd)
+
+
+def hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, plan):
+    """HGNN fused aggregation over a :class:`TreePlan` (sum/mean only;
+    max routes to the nnz oracle path in the dispatcher)."""
+    e_stage, v_stage = plan.device()
+    xe = tree_matvec(x, e_stage, v_stage)
+    if first_aggr == "mean":
+        counts = e_stage[3]
+        xe = xe / jnp.maximum(counts, 1.0)[:, None]
+    xe = xe * hgd.degE
+    if wdiag is not None:
+        xe = xe * wdiag
+    xv = tree_matvec(xe, v_stage, e_stage)
+    return xv * hgd.degV
+
+
+def unignn_aggregate_tree(hgd, x, use_deg, plan):
+    e_stage, v_stage = plan.device()
+    xe = tree_matvec(x, e_stage, v_stage)
+    if use_deg:
+        xe = xe * hgd.degE
+    xv = tree_matvec(xe, v_stage, e_stage)
+    if use_deg:
+        xv = xv * hgd.degV
+    return xv

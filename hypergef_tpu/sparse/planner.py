@@ -115,6 +115,7 @@ def choose_ngs(
     min_ngs: int = 8,
     max_ngs: int = 512,
     chunk_overhead: float = 8.0,
+    step: int = 8,
 ) -> int:
     """Analytic replacement for the reference's hand-tuned per-dataset
     ``partition_dict`` (``hypergraph.py:74-76``).
@@ -129,12 +130,223 @@ def choose_ngs(
     if row_len.size == 0:
         return min_ngs
     best, best_cost = min_ngs, np.inf
-    for ngs in range(min_ngs, max_ngs + 1, 8):
+    for ngs in range(min_ngs, max_ngs + 1, step):
         chunks = -(-row_len // ngs)
         cost = float((chunks * ngs).sum()) + chunk_overhead * float(chunks.sum())
         if cost < best_cost:
             best, best_cost = ngs, cost
     return best
+
+
+# ----------------------------------------------------------------------
+# reduction-tree schedule (the production XLA/TPU combine structure)
+# ----------------------------------------------------------------------
+class TreeLevel(NamedTuple):
+    gather_idx: np.ndarray  # [C, fan] int32 — rows of the previous level
+    mask: np.ndarray  # [C, fan] f32
+
+
+class TreeStage(NamedTuple):
+    """One aggregation direction as a fixed-fan-in reduction tree.
+
+    Applying the stage to x [num_inputs, F]:
+
+        p = x
+        for (g, m) in levels:  p = (take(p, g) * m[:,:,None]).sum(1)
+        y = take(p, final_idx) * final_mask[:,None]        # [S, F]
+
+    Level 0 gathers source rows (ELL chunks of the CSR); deeper levels
+    combine sibling partials of the same output segment, fan at a time,
+    so arbitrarily long rows (power-law tails) cost depth log_fan —
+    every op is a dense gather/reshape/sum, no scatter, no cumsum.
+    """
+
+    levels: tuple  # tuple[TreeLevel]
+    final_idx: np.ndarray  # [S] int32 — last-level row per segment (0 if empty)
+    final_mask: np.ndarray  # [S] f32 — 0 for empty segments
+    counts: np.ndarray  # [S] f32 — members per segment (for mean)
+    num_inputs: int
+    num_segments: int
+
+
+def build_tree(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_inputs: int,
+    ngs: int = 8,
+    fan: int = 8,
+) -> TreeStage:
+    """Build the reduction-tree schedule for one CSR direction."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int32)
+    num_rows = indptr.shape[0] - 1
+    row_len = np.diff(indptr)
+
+    # ---- level 0: ELL chunks over the CSR nnz --------------------------
+    t0 = build_ell(indptr, indices, ngs, pad_chunks_to=1)
+    levels = [TreeLevel(gather_idx=t0.gather_idx, mask=t0.mask)]
+    # rows-per-segment at the current level
+    seg_counts = (-(-row_len // ngs)).astype(np.int64)  # chunks per segment
+
+    # ---- deeper levels: combine fan siblings of the same segment -------
+    while seg_counts.max(initial=0) > 1:
+        new_counts = -(-seg_counts // fan)
+        c_new = int(new_counts.sum())
+        prev_ptr = np.zeros(num_rows + 1, dtype=np.int64)
+        np.cumsum(seg_counts, out=prev_ptr[1:])
+        new_ptr = np.zeros(num_rows + 1, dtype=np.int64)
+        np.cumsum(new_counts, out=new_ptr[1:])
+        g = np.zeros((max(c_new, 1), fan), dtype=np.int32)
+        m = np.zeros((max(c_new, 1), fan), dtype=np.float32)
+        if c_new:
+            new_id = np.arange(c_new, dtype=np.int64)
+            seg_of_new = (
+                np.searchsorted(new_ptr, new_id, side="right") - 1
+            )
+            rank = new_id - new_ptr[seg_of_new]
+            start = prev_ptr[seg_of_new] + rank * fan
+            size = np.minimum(prev_ptr[seg_of_new + 1] - start, fan)
+            slot = np.arange(fan, dtype=np.int64)[None, :]
+            src = start[:, None] + slot
+            live = slot < size[:, None]
+            g[:] = np.where(live, np.minimum(src, max(int(prev_ptr[-1]) - 1, 0)), 0)
+            m[:] = live.astype(np.float32)
+        levels.append(TreeLevel(gather_idx=g, mask=m))
+        seg_counts = new_counts
+
+    # ---- final map: one row (or none) per segment ----------------------
+    last_ptr = np.zeros(num_rows + 1, dtype=np.int64)
+    np.cumsum(seg_counts, out=last_ptr[1:])
+    final_idx = np.minimum(last_ptr[:-1], max(int(last_ptr[-1]) - 1, 0)).astype(
+        np.int32
+    )
+    final_mask = (seg_counts > 0).astype(np.float32)
+    return TreeStage(
+        levels=tuple(levels),
+        final_idx=final_idx,
+        final_mask=final_mask,
+        counts=row_len.astype(np.float32),
+        num_inputs=num_inputs,
+        num_segments=num_rows,
+    )
+
+
+@dataclasses.dataclass
+class TreePlan:
+    """Two-direction reduction-tree schedule (the production plan).
+
+    ``edge_stage`` computes V→E (rows = hyperedges, inputs = vertices),
+    ``vertex_stage`` computes E→V.  Each stage is also the exact adjoint
+    of the other (H vs Hᵀ), which the ops layer exploits for a
+    scatter-free custom VJP.
+    """
+
+    edge_stage: TreeStage
+    vertex_stage: TreeStage
+    num_nodes: int
+    num_edges: int
+    _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
+
+    @staticmethod
+    def _stage_device(st: TreeStage):
+        import jax.numpy as jnp
+
+        return (
+            tuple((jnp.asarray(l.gather_idx), jnp.asarray(l.mask)) for l in st.levels),
+            jnp.asarray(st.final_idx),
+            jnp.asarray(st.final_mask),
+            jnp.asarray(st.counts),
+        )
+
+    def device(self):
+        """Returns (edge_stage_pytree, vertex_stage_pytree) of jnp arrays."""
+        if self._device is None:
+            self._device = (
+                self._stage_device(self.edge_stage),
+                self._stage_device(self.vertex_stage),
+            )
+        return self._device
+
+    def depth(self):
+        return (len(self.edge_stage.levels), len(self.vertex_stage.levels))
+
+
+def plan_tree(hg, ngs: Optional[int] = None, ngs_vertex: Optional[int] = None,
+              fan: int = 8) -> TreePlan:
+    """Build the two-direction reduction-tree plan for a hypergraph."""
+    if ngs is None:
+        ngs = choose_ngs(hg.edge_sizes(), min_ngs=4, max_ngs=64, step=4)
+    if ngs_vertex is None:
+        ngs_vertex = choose_ngs(hg.vertex_degrees(), min_ngs=4, max_ngs=64, step=4)
+    plan = TreePlan(
+        edge_stage=build_tree(hg.ht_indptr, hg.ht_indices, hg.num_nodes, ngs, fan),
+        vertex_stage=build_tree(hg.h_indptr, hg.h_indices, hg.num_edges, ngs_vertex, fan),
+        num_nodes=hg.num_nodes,
+        num_edges=hg.num_edges,
+    )
+    plan.device()  # materialize eagerly, outside any trace
+    return plan
+
+
+@dataclasses.dataclass
+class DenseIncidence:
+    """Dense |V|×|E| H in bf16 for the MXU matmul backend (small graphs).
+
+    On-chip measurement (scripts/bench_strategies.py): for cora-sized
+    graphs the dense bf16 two-stage matmul beats every sparse formulation
+    by ~10× — MXU flops are cheaper than any gather orchestration below
+    ~10⁷ H entries.  The analogue of the reference's kernel auto-select
+    picking the dense-ish shm path for dense rows (hgnnAgg.cuh:1138-1157).
+    """
+
+    h: "object"  # jnp [N, E] bf16
+    num_nodes: int
+    num_edges: int
+
+    @classmethod
+    def from_hypergraph(cls, hg, dtype=None):
+        import jax.numpy as jnp
+
+        dtype = dtype or jnp.bfloat16
+        h = jnp.asarray(hg.to_scipy().toarray(), dtype=dtype)
+        return cls(h=h, num_nodes=hg.num_nodes, num_edges=hg.num_edges)
+
+
+@dataclasses.dataclass
+class AggregationPlan:
+    """Everything the backend dispatcher needs, built once per graph.
+
+    ``preferred_backend`` implements the auto heuristic: dense-MXU for
+    small incidence matrices, reduction-tree otherwise.
+    """
+
+    tree: "TreePlan"
+    dense: Optional[DenseIncidence] = None
+    tile: Optional["TilePlan"] = None
+    preferred_backend: str = "tree"
+
+
+# H entries below which the dense-MXU backend wins (measured crossover is
+# well above cora=7.3e6 and dense is also memory-bounded by N*E*2 bytes).
+DENSE_AUTO_THRESHOLD = 32_000_000
+
+
+def plan_aggregation(
+    hg,
+    dense_threshold: int = DENSE_AUTO_THRESHOLD,
+    with_tile: bool = False,
+    ngs: Optional[int] = None,
+    fan: int = 8,
+) -> AggregationPlan:
+    """Build the full aggregation plan for a hypergraph (host-side, once)."""
+    tree = plan_tree(hg, ngs=ngs, fan=fan)
+    dense = None
+    preferred = "tree"
+    if hg.num_nodes * hg.num_edges <= dense_threshold:
+        dense = DenseIncidence.from_hypergraph(hg)
+        preferred = "dense"
+    tile = plan_tiles(hg) if with_tile else None
+    return AggregationPlan(tree=tree, dense=dense, tile=tile, preferred_backend=preferred)
 
 
 class TilePlanData(NamedTuple):
@@ -169,7 +381,16 @@ class TilePlan:
 
     def device(self) -> TilePlanData:
         if self._device is None:
+            import jax
             import jax.numpy as jnp
+
+            # never cache arrays materialized inside a jit trace — they
+            # would be tracers and leak out of the transformation scope
+            if isinstance(jnp.zeros(()), jax.core.Tracer):
+                raise RuntimeError(
+                    "TilePlan.device() first called inside a jit trace; "
+                    "call plan.device() (or plan_tiles) eagerly first"
+                )
 
             et, vt = self.edge_table, self.vertex_table
             self._device = TilePlanData(
@@ -209,9 +430,11 @@ def plan_tiles(
         ngs_vertex = choose_ngs(hg.vertex_degrees())
     edge_table = build_ell(hg.ht_indptr, hg.ht_indices, ngs, pad_chunks_to)
     vertex_table = build_ell(hg.h_indptr, hg.h_indices, ngs_vertex, pad_chunks_to)
-    return TilePlan(
+    plan = TilePlan(
         edge_table=edge_table,
         vertex_table=vertex_table,
         num_nodes=hg.num_nodes,
         num_edges=hg.num_edges,
     )
+    plan.device()  # materialize device arrays eagerly (outside any trace)
+    return plan

@@ -49,7 +49,7 @@ class TrainConfig:
     seed: int = 1
     train_prop: float = 0.5
     valid_prop: float = 0.25
-    backend: Optional[str] = None  # None → ops-level default
+    backend: Optional[str] = "auto"  # auto → plan-preferred (dense|tree)
 
 
 def make_optimizer(lr: float, wd: float) -> optax.GradientTransformation:
@@ -67,10 +67,12 @@ class Trainer:
         self.cfg = cfg
         self.hg = hg
         self.plan = plan
-        if plan is None and cfg.backend in ("ell", "pallas"):
-            from hypergef_tpu.sparse.planner import plan_tiles
+        if plan is None and cfg.backend not in ("xla", "cumsum"):
+            from hypergef_tpu.sparse.planner import plan_aggregation
 
-            self.plan = plan_tiles(hg)
+            self.plan = plan_aggregation(
+                hg, with_tile=cfg.backend in ("ell", "pallas")
+            )
         self.hgd = hg.device_data()
         self.x = jnp.asarray(x, dtype=jnp.float32)
         self.y = jnp.asarray(y, dtype=jnp.int32)

@@ -114,9 +114,10 @@ def _ell_stage(gather_idx, mask, seg_ids, num_segments, x, aggr="sum"):
     Padded chunks carry seg_id == num_segments and are dropped by the
     out-of-range scatter semantics of ``segment_sum``.
     """
-    gathered = jnp.take(x, gather_idx, axis=0)  # [C, ngs, F]
+    c, ngs = gather_idx.shape
+    gathered = jnp.take(x, gather_idx.reshape(-1), axis=0).reshape(c, ngs, -1)
     if aggr in ("sum", "mean"):
-        partial = jnp.einsum("cgf,cg->cf", gathered, mask)
+        partial = jnp.sum(gathered * mask[:, :, None], axis=1)
         y = jax.ops.segment_sum(
             partial, seg_ids, num_segments=num_segments, indices_are_sorted=True
         )

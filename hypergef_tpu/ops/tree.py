@@ -26,11 +26,20 @@ import jax.numpy as jnp
 
 
 def _apply_stage(x, stage):
-    """stage = (levels, final_idx, final_mask, counts) of jnp arrays."""
+    """stage = (levels, final_idx, final_mask, counts) of jnp arrays.
+
+    Gathers use flat 1-D row-index form (``take(p, g.reshape(-1))``) —
+    the canonical gather XLA:TPU lowers natively; 2-D index tables can
+    trip the scalarizing gather expander (minutes-long compiles,
+    serialized runtime).  The fan-in combine is a reshape + masked sum,
+    not a 3-D einsum, for the same reason.
+    """
     levels, final_idx, final_mask, _ = stage
     p = x
     for g, m in levels:
-        p = jnp.einsum("cgf,cg->cf", jnp.take(p, g, axis=0), m)
+        c, fan = g.shape
+        gathered = jnp.take(p, g.reshape(-1), axis=0).reshape(c, fan, -1)
+        p = jnp.sum(gathered * m[:, :, None], axis=1)
     return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
 
 

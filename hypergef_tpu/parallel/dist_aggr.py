@@ -36,9 +36,12 @@ def _squeeze0(tree):
 
 
 def _local_stage(x, levels, final_idx, final_mask):
+    # flat 1-D gathers + reshape: see ops/tree.py _apply_stage rationale
     p = x
     for g, m in levels:
-        p = jnp.einsum("cgf,cg->cf", jnp.take(p, g, axis=0), m)
+        c, fan = g.shape
+        gathered = jnp.take(p, g.reshape(-1), axis=0).reshape(c, fan, -1)
+        p = jnp.sum(gathered * m[:, :, None], axis=1)
     return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
 
 

@@ -1,0 +1,130 @@
+"""Headline benchmark: fused HGNN-layer aggregation throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol: the fig7/fig9 analogue (BASELINE.md §1) — the fused HGNN
+aggregation (two-stage incidence aggregation + degree/weight scaling) at
+feature_size=32 on a cora-shaped hypergraph (|V|=|E|=2708, nnz≈10.9k —
+the reference's cora.mtx workload), device time per iteration measured by
+chaining iterations inside one jitted fori_loop (the TPU analogue of the
+reference's ITER-loop around kernel launches, hgnnAgg.cuh:14).
+
+Baseline: reference fused CUDA kernel on RTX 3090, cora f=32:
+0.004795 ms (BASELINE.md §1, result.xlsx "fig7,fig9").
+vs_baseline = baseline_time / our_time (>1 means faster than reference).
+
+The backend is the plan's auto-selection (dense-MXU at this scale —
+that IS the production fused path for small graphs; see
+docs/KERNEL_NOTES.md). Run with --backend/--config to override.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+# persistent compile cache: tunneled-TPU compiles are expensive
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/hypergef_jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+
+REF_CORA_FUSED_MS = 0.004795  # RTX 3090, BASELINE.md §1
+# Reference end-to-end HGNN train epoch, 20newsW100 nhid=32 (BASELINE.md §2):
+# hgsys (fused backend) 1.471 ms on RTX 3090, protocol = 10 warm-up +
+# 200 timed epochs, full train step (fwd + nll + bwd + Adam).
+REF_20NEWS_EPOCH_MS = 1.471
+
+
+def bench_e2e(args):
+    """fig6 analogue: HGNN train-epoch device time on a 20news-shaped
+    hypergraph (16242 vertices, 100 giant hyperedges, nnz≈65k, 100
+    features, 4 classes, nhid=32, 2 layers)."""
+    import jax
+
+    from hypergef_tpu.data.synthetic import random_hypergraph, random_features
+    from hypergef_tpu.train import TrainConfig, Trainer, rand_train_test_idx
+
+    hg = random_hypergraph(16242, 100, avg_edge_size=654.5, seed=0, name="news20")
+    x, y = random_features(hg.num_nodes, 100, 4, seed=1)
+    split = rand_train_test_idx(y, seed=2)
+    cfg = TrainConfig(model="HGNN", nhid=32, nlayer=2, epochs=1, warmup=0,
+                      backend=args.backend if args.backend != "auto" else "auto")
+    tr = Trainer(cfg, hg, x, y)
+    t_s = tr.epoch_device_time(split["train"], iters=args.iters)
+    epochs_per_s = 1.0 / t_s if t_s > 0 else float("inf")
+    vs = REF_20NEWS_EPOCH_MS / (t_s * 1e3)
+    print(json.dumps({
+        "metric": "hgnn_e2e_train_epochs_per_s_20news_nhid32",
+        "value": round(epochs_per_s, 2),
+        "unit": "epochs/s",
+        "vs_baseline": round(vs, 3),
+        "per_epoch_us": round(t_s * 1e6, 1),
+        "nnz": hg.nnz,
+        "baseline": "RTX3090 hgsys fused e2e train epoch 20newsW100 nhid=32 = 1.471ms (BASELINE.md §2)",
+        "note": "device time per full train step (fwd+nll+bwd+Adam), host dispatch excluded; 20news-shaped synthetic hypergraph",
+    }))
+
+
+def bench_kernel(args):
+    import jax
+    import jax.numpy as jnp
+
+    from hypergef_tpu.data.synthetic import random_hypergraph
+    from hypergef_tpu.ops import fused
+    from hypergef_tpu.sparse.planner import plan_aggregation
+    from hypergef_tpu.utils.timing import device_time_per_iter
+
+    shapes = {
+        "cora": dict(n=2708, e=2708, avg=4.0, ref_ms=REF_CORA_FUSED_MS),
+        "pubmed": dict(n=19717, e=19717, avg=4.3, ref_ms=0.012484),
+        "big": dict(n=100_000, e=50_000, avg=10.0, ref_ms=None),
+    }
+    s = shapes[args.config]
+    hg = random_hypergraph(s["n"], s["e"], avg_edge_size=s["avg"], seed=0,
+                           name=args.config)
+    plan = plan_aggregation(hg)
+    hgd = hg.device_data()
+    x0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(s["n"], args.feat)).astype(np.float32)
+    )
+    backend = args.backend if args.backend != "auto" else plan.preferred_backend
+
+    def step(a):
+        return fused.hgnn_aggregate(hgd, a, None, "sum", plan=plan, backend=backend)
+
+    r = device_time_per_iter(step, x0, iters=args.iters)
+    t_s = r["per_iter_s"]
+    nnz_per_s = hg.nnz / t_s if t_s > 0 else float("inf")
+    vs = (s["ref_ms"] / (t_s * 1e3)) if s["ref_ms"] else 0.0
+    print(json.dumps({
+        "metric": f"fused_hgnn_layer_nnz_per_s_{args.config}_f{args.feat}_{backend}",
+        "value": round(nnz_per_s, 1),
+        "unit": "incidence-nnz/s",
+        "vs_baseline": round(vs, 4),
+        "per_iter_us": round(t_s * 1e6, 2),
+        "compile_s": round(r["compile_s"], 1),
+        "nnz": hg.nnz,
+        "baseline": "RTX3090 fused cora f=32 = 4.795us (BASELINE.md §1)",
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="e2e", choices=["e2e", "kernel"])
+    ap.add_argument("--config", default="cora")
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--feat", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args()
+    if args.mode == "e2e":
+        bench_e2e(args)
+    else:
+        bench_kernel(args)
+
+
+if __name__ == "__main__":
+    main()

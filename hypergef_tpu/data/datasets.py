@@ -1,0 +1,234 @@
+"""Named-dataset ETL: the 13 hypergraph benchmarks of the reference.
+
+Parity with ``HyperGsys/data/load_dataset.py:33-384`` and
+``HyperGsys/dataloader.py:20-110`` (AllSet-derived loaders).  This
+environment has no network egress, so every loader works from local raw
+files (same formats the reference downloads) under ``root/<name>/raw``
+and raises a clear error when absent; processed results are cached as
+``.npz``.
+
+Formats:
+
+* **LE datasets** (ModelNet40, NTU2012, zoo, 20newsW100, Mushroom):
+  ``<name>.content`` — ``id feat... label`` rows; ``<name>.edges`` —
+  hyperedge member-id lists, one hyperedge per line
+  (load_dataset.py:33-130 semantics).
+* **citation cocitation/coauthorship** (cora, citeseer, pubmed,
+  coauthor_cora, coauthor_dblp): AllSet pickles ``features.pickle``
+  (scipy sparse), ``labels.pickle`` (list), ``hypergraph.pickle``
+  (dict name → vertex list) (load_dataset.py:132-236).
+* **yelp**: CSVs with business/user relations + bag-of-words features
+  (load_dataset.py:238-303).
+* **cornell** (walmart-trips, house-committees): ``hyperedges-*.txt``,
+  ``node-labels-*.txt`` with one-hot labels + gaussian feature noise
+  (load_dataset.py:305-384).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from hypergef_tpu.sparse.hypergraph import Hypergraph
+
+EXISTING_DATASETS = [
+    "20newsW100", "ModelNet40", "zoo", "NTU2012", "Mushroom",
+    "coauthor_cora", "coauthor_dblp", "yelp", "walmart-trips",
+    "house-committees", "cora", "citeseer", "pubmed",
+]
+
+SYNTHETIC_LIST = ["walmart-trips", "house-committees"]
+
+_LE = ["ModelNet40", "NTU2012", "zoo", "20newsW100", "Mushroom"]
+_CITATION_COCITE = ["cora", "citeseer", "pubmed"]
+_CITATION_COAUTH = {"coauthor_cora": "cora", "coauthor_dblp": "dblp"}
+_CORNELL = {"walmart-trips": "walmart-trips", "house-committees": "house-committees"}
+
+
+@dataclass
+class HypergraphDataset:
+    name: str
+    hg: Hypergraph
+    features: np.ndarray  # [N, F] f32
+    labels: np.ndarray  # [N] int32
+
+    @property
+    def num_features(self) -> int:
+        return int(self.features.shape[1])
+
+    @property
+    def num_classes(self) -> int:
+        return int(self.labels.max()) + 1
+
+
+class DatasetNotAvailable(FileNotFoundError):
+    pass
+
+
+def _raw_dir(root: str, name: str) -> str:
+    return os.path.join(root, name, "raw")
+
+
+def _require(path: str, name: str) -> str:
+    if not os.path.exists(path):
+        raise DatasetNotAvailable(
+            f"dataset {name!r}: raw file {path} not found. This environment "
+            "has no network access; place the AllSet raw files there "
+            "(same layout the reference's data/prepare.sh downloads)."
+        )
+    return path
+
+
+def _from_edge_lists(edge_lists, num_nodes, name) -> Hypergraph:
+    vs, es = [], []
+    for e, members in enumerate(edge_lists):
+        for v in members:
+            vs.append(v)
+            es.append(e)
+    return Hypergraph.from_coo(
+        np.asarray(vs, dtype=np.int64),
+        np.asarray(es, dtype=np.int64),
+        num_nodes=num_nodes,
+        num_edges=len(edge_lists),
+        name=name,
+    )
+
+
+def load_LE_dataset(root: str, name: str) -> HypergraphDataset:
+    """`.content` + `.edges` loader (load_dataset.py:33-130)."""
+    d = _raw_dir(root, name)
+    content = _require(os.path.join(d, f"{name}.content"), name)
+    edges_f = _require(os.path.join(d, f"{name}.edges"), name)
+    rows = [l.split() for l in open(content) if l.strip()]
+    ids = np.array([int(r[0]) for r in rows])
+    feats = np.array([[float(x) for x in r[1:-1]] for r in rows], dtype=np.float32)
+    labels_raw = [r[-1] for r in rows]
+    classes = sorted(set(labels_raw))
+    labels = np.array([classes.index(c) for c in labels_raw], dtype=np.int32)
+    id_of = {v: i for i, v in enumerate(ids)}
+    edge_lists = []
+    for line in open(edges_f):
+        if line.strip():
+            members = [id_of[int(t)] for t in line.split() if int(t) in id_of]
+            if members:
+                edge_lists.append(members)
+    hg = _from_edge_lists(edge_lists, len(ids), name)
+    return HypergraphDataset(name, hg, feats, labels)
+
+
+def load_citation_dataset(root: str, name: str, sub: Optional[str] = None) -> HypergraphDataset:
+    """AllSet citation pickles (load_dataset.py:132-236)."""
+    d = _raw_dir(root, name)
+    with open(_require(os.path.join(d, "features.pickle"), name), "rb") as f:
+        features = pickle.load(f)
+    features = np.asarray(
+        features.todense() if hasattr(features, "todense") else features,
+        dtype=np.float32,
+    )
+    with open(_require(os.path.join(d, "labels.pickle"), name), "rb") as f:
+        labels = np.asarray(pickle.load(f), dtype=np.int32)
+    with open(_require(os.path.join(d, "hypergraph.pickle"), name), "rb") as f:
+        hyperg = pickle.load(f)
+    edge_lists = [list(members) for members in hyperg.values() if len(members)]
+    hg = _from_edge_lists(edge_lists, features.shape[0], name)
+    return HypergraphDataset(name, hg, features, labels)
+
+
+def load_cornell_dataset(
+    root: str, name: str, feature_noise: float = 1.0, feature_dim: Optional[int] = None,
+    seed: int = 0,
+) -> HypergraphDataset:
+    """Cornell datasets: labels + synthetic noisy features
+    (load_dataset.py:305-384: one-hot(label) + N(0, noise))."""
+    d = _raw_dir(root, name)
+    tag = _CORNELL[name]
+    labels_f = _require(os.path.join(d, f"node-labels-{tag}.txt"), name)
+    edges_f = _require(os.path.join(d, f"hyperedges-{tag}.txt"), name)
+    labels = np.array([int(l) for l in open(labels_f) if l.strip()], dtype=np.int32)
+    labels = labels - labels.min()  # reference shifts labels to start at 0
+    edge_lists = []
+    for line in open(edges_f):
+        if line.strip():
+            edge_lists.append([int(t) - 1 for t in line.replace(",", " ").split()])
+    num_classes = int(labels.max()) + 1
+    rng = np.random.default_rng(seed)
+    feats = np.eye(num_classes, dtype=np.float32)[labels]
+    feats = feats + feature_noise * rng.normal(size=feats.shape).astype(np.float32)
+    if feature_dim is not None and feature_dim != feats.shape[1]:
+        proj = rng.normal(size=(feats.shape[1], feature_dim)).astype(np.float32)
+        feats = feats @ proj
+    hg = _from_edge_lists(edge_lists, len(labels), name)
+    return HypergraphDataset(name, hg, feats, labels)
+
+
+def load_yelp_dataset(root: str, name: str = "yelp") -> HypergraphDataset:
+    """Yelp business/user hypergraph (load_dataset.py:238-303)."""
+    import pandas as pd
+
+    d = _raw_dir(root, name)
+    bus = pd.read_csv(_require(os.path.join(d, "yelp_business.csv"), name))
+    edges = pd.read_csv(_require(os.path.join(d, "yelp_edges.csv"), name))
+    feats = bus.drop(columns=[c for c in ("business_id", "label") if c in bus]).to_numpy(
+        dtype=np.float32
+    )
+    labels = bus["label"].to_numpy(dtype=np.int32)
+    hg = Hypergraph.from_coo(
+        edges["vertex"].to_numpy(np.int64),
+        edges["edge"].to_numpy(np.int64),
+        num_nodes=feats.shape[0],
+        name=name,
+    )
+    return HypergraphDataset(name, hg, feats, labels)
+
+
+def load_dataset(
+    name: str,
+    root: str = "data/",
+    feature_noise: float = 1.0,
+    cache: bool = True,
+) -> HypergraphDataset:
+    """Main entry: name → HypergraphDataset (dataloader.py:20-110 role),
+    with npz caching (the reference caches to ``data.pt``)."""
+    if name not in EXISTING_DATASETS:
+        raise ValueError(f"unknown dataset {name!r}; known: {EXISTING_DATASETS}")
+    cache_f = os.path.join(root, name, "processed.npz")
+    if cache and os.path.exists(cache_f):
+        z = np.load(cache_f)
+        hg = Hypergraph(
+            num_nodes=int(z["num_nodes"]),
+            num_edges=int(z["num_edges"]),
+            h_indptr=z["h_indptr"],
+            h_indices=z["h_indices"],
+            ht_indptr=z["ht_indptr"],
+            ht_indices=z["ht_indices"],
+            name=name,
+        )
+        return HypergraphDataset(name, hg, z["features"], z["labels"])
+    if name in _LE:
+        ds = load_LE_dataset(root, name)
+    elif name in _CITATION_COCITE or name in _CITATION_COAUTH:
+        ds = load_citation_dataset(root, name)
+    elif name in _CORNELL:
+        ds = load_cornell_dataset(root, name, feature_noise)
+    elif name == "yelp":
+        ds = load_yelp_dataset(root)
+    else:  # pragma: no cover
+        raise AssertionError(name)
+    if cache:
+        os.makedirs(os.path.dirname(cache_f), exist_ok=True)
+        np.savez_compressed(
+            cache_f,
+            num_nodes=ds.hg.num_nodes,
+            num_edges=ds.hg.num_edges,
+            h_indptr=ds.hg.h_indptr,
+            h_indices=ds.hg.h_indices,
+            ht_indptr=ds.hg.ht_indptr,
+            ht_indices=ds.hg.ht_indices,
+            features=ds.features,
+            labels=ds.labels,
+        )
+    return ds

@@ -29,7 +29,8 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 
-class HypergraphData(NamedTuple):
+@dataclasses.dataclass(frozen=True)
+class HypergraphData:
     """Device-side (jit-traversable) view of a hypergraph.
 
     All index arrays are int32 (TPU-native integer width; the reference
@@ -40,20 +41,46 @@ class HypergraphData(NamedTuple):
     the V→E stage reads them; ``h_*`` arrays enumerate nnz in
     vertex-major (H CSR) order — the E→V stage reads them.  Keeping both
     permutations means *both* segment reductions see sorted segment ids.
+
+    Registered as a pytree with ``num_nodes``/``num_edges`` as *static*
+    metadata, so instances can be jit arguments (the minibatch path
+    passes a fresh batch per step) without the counts becoming tracers.
     """
 
     # nnz in edge-sorted order: entry k is (vertex ht_vertex[k]) ∈ (edge ht_segids[k])
-    ht_vertex: np.ndarray  # [nnz] int32, member vertex ids
-    ht_segids: np.ndarray  # [nnz] int32, owning hyperedge ids (non-decreasing)
-    ht_indptr: np.ndarray  # [E+1] int32, CSR row pointer of H^T
+    ht_vertex: "np.ndarray"  # [nnz] int32, member vertex ids
+    ht_segids: "np.ndarray"  # [nnz] int32, owning hyperedge ids (non-decreasing)
+    ht_indptr: "np.ndarray"  # [E+1] int32, CSR row pointer of H^T
     # nnz in vertex-sorted order
-    h_edge: np.ndarray  # [nnz] int32, incident hyperedge ids
-    h_segids: np.ndarray  # [nnz] int32, owning vertex ids (non-decreasing)
-    h_indptr: np.ndarray  # [N+1] int32, CSR row pointer of H
-    degV: np.ndarray  # [N, 1] f32
-    degE: np.ndarray  # [E, 1] f32
-    num_nodes: int
-    num_edges: int
+    h_edge: "np.ndarray"  # [nnz] int32, incident hyperedge ids
+    h_segids: "np.ndarray"  # [nnz] int32, owning vertex ids (non-decreasing)
+    h_indptr: "np.ndarray"  # [N+1] int32, CSR row pointer of H
+    degV: "np.ndarray"  # [N, 1] f32
+    degE: "np.ndarray"  # [E, 1] f32
+    num_nodes: int = 0
+    num_edges: int = 0
+
+
+def _register_hypergraph_data():
+    import jax
+
+    jax.tree_util.register_dataclass(
+        HypergraphData,
+        data_fields=[
+            "ht_vertex",
+            "ht_segids",
+            "ht_indptr",
+            "h_edge",
+            "h_segids",
+            "h_indptr",
+            "degV",
+            "degE",
+        ],
+        meta_fields=["num_nodes", "num_edges"],
+    )
+
+
+_register_hypergraph_data()
 
 
 @dataclasses.dataclass

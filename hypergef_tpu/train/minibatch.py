@@ -1,0 +1,134 @@
+"""Minibatch trainer over hyperedge-sampled subgraphs.
+
+Each bucketed batch shape compiles once (XLA cache keyed on shapes); the
+aggregation runs the plan-free scatter-free cumsum backend, so no
+schedule construction happens per batch — only the host-side sampler.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hypergef_tpu.data.sampling import HyperedgeSampler
+from hypergef_tpu.models.zoo import build_model
+from hypergef_tpu.train.trainer import TrainConfig, make_optimizer
+
+
+class MinibatchTrainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        hg,
+        x: np.ndarray,
+        y: np.ndarray,
+        train_idx: np.ndarray,
+        batch_edges: int = 64,
+        nclass: Optional[int] = None,
+        sampler_seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.hg = hg
+        self.x = np.asarray(x, dtype=np.float32)
+        self.y = np.asarray(y, dtype=np.int32)
+        self.nclass = int(nclass if nclass is not None else self.y.max() + 1)
+        self.train_mask_global = np.zeros(hg.num_nodes, dtype=np.float32)
+        self.train_mask_global[np.asarray(train_idx)] = 1.0
+        self.sampler = HyperedgeSampler(hg, batch_edges, seed=sampler_seed)
+        self.model = build_model(
+            cfg.model,
+            nfeat=self.x.shape[1],
+            nhid=cfg.nhid,
+            nclass=self.nclass,
+            nlayer=cfg.nlayer,
+            first_aggr=cfg.first_aggr,
+            nhead=cfg.nhead,
+            dropout=cfg.dropout,
+            input_drop=cfg.input_drop,
+            activation=cfg.activation,
+            backend="cumsum",  # plan-free: works on any padded batch
+        )
+        b0 = self.sampler.sample_batch()
+        xb = jnp.asarray(self.x[b0.vertex_ids])
+        self.params = self.model.init(
+            {"params": jax.random.key(cfg.seed)}, xb, b0.data, None,
+            deterministic=True,
+        )["params"]
+        self.tx = make_optimizer(cfg.lr, cfg.wd)
+        self.opt_state = self.tx.init(self.params)
+        self._step = self._build_step()
+
+    def _build_step(self):
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, rng, data, xb, yb, mask):
+            z = model.apply(
+                {"params": params}, xb, data, None, deterministic=False,
+                rngs={"dropout": rng},
+            )
+            picked = jnp.take_along_axis(z, yb[:, None], axis=1)[:, 0]
+            return -jnp.sum(picked * mask) / jnp.maximum(mask.sum(), 1.0)
+
+        @jax.jit
+        def step(params, opt_state, rng, data, xb, yb, mask):
+            rng, sub = jax.random.split(rng)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, sub, data, xb, yb, mask
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, loss
+
+        return step
+
+    def fit(self, epochs: int = 1) -> Dict[str, float]:
+        rng = jax.random.key(self.cfg.seed + 1)
+        losses = []
+        t0 = time.perf_counter()
+        n_batches = 0
+        for _ in range(epochs):
+            for batch in self.sampler.epoch():
+                xb = jnp.asarray(self.x[batch.vertex_ids])
+                yb = jnp.asarray(self.y[batch.vertex_ids])
+                mask = jnp.asarray(
+                    batch.vertex_mask * self.train_mask_global[batch.vertex_ids]
+                )
+                self.params, self.opt_state, rng, loss = self._step(
+                    self.params, self.opt_state, rng, batch.data, xb, yb, mask
+                )
+                losses.append(loss)
+                n_batches += 1
+        jax.block_until_ready(losses[-1])
+        dt = time.perf_counter() - t0
+        return {
+            "final_loss": float(losses[-1]),
+            "mean_loss": float(np.mean([float(l) for l in losses[-10:]])),
+            "batches": n_batches,
+            "time_s": dt,
+        }
+
+    def evaluate_full(self, split_idx, plan=None) -> Dict[str, float]:
+        """Full-graph evaluation with the trained minibatch params."""
+        from hypergef_tpu.train.splits import accuracy
+
+        hgd = self.hg.device_data()
+        z = np.asarray(
+            self.model.apply(
+                {"params": self.params},
+                jnp.asarray(self.x),
+                hgd,
+                plan,
+                deterministic=True,
+            )
+        )
+        out = {}
+        for name, idx in split_idx.items():
+            idx = np.asarray(idx)
+            if idx.size:
+                out[f"{name}_acc"] = accuracy(z[idx], self.y[idx])
+        return out

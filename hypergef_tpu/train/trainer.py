@@ -167,6 +167,54 @@ class Trainer:
             "epochs": epochs,
         }
 
+    def epoch_device_time(self, train_idx, iters: int = 50) -> float:
+        """Pure device time per training epoch: chains ``iters`` full
+        train steps (fwd+bwd+Adam) inside one jitted fori_loop, so host
+        dispatch latency is excluded — the measurement protocol for
+        kernel-honest comparisons (see docs/KERNEL_NOTES.md)."""
+        import time
+
+        cfg = self.cfg
+        train_idx = jnp.asarray(np.asarray(train_idx), dtype=jnp.int32)
+        model, hgd, plan, tx = self.model, self.hgd, self.plan, self.tx
+        x, y = self.x, self.y
+
+        def one_step(carry, rng_key):
+            params, opt_state = carry
+
+            def loss_fn(p, rng):
+                z = model.apply(
+                    {"params": p}, x, hgd, plan, deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                logp = jnp.take(z, train_idx, axis=0)
+                yy = jnp.take(y, train_idx)
+                return -jnp.mean(jnp.take_along_axis(logp, yy[:, None], axis=1))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params, rng_key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        def run(params, opt_state, n):
+            def body(i, carry):
+                (p, o), _ = one_step(carry[0], jax.random.fold_in(jax.random.key(0), i))
+                return ((p, o), 0.0)
+            (p, o), _ = jax.lax.fori_loop(0, n, body, ((params, opt_state), 0.0))
+            return p
+
+        f = jax.jit(run, static_argnums=2)
+        p1 = jax.block_until_ready(f(self.params, self.opt_state, 1))
+        jax.block_until_ready(f(self.params, self.opt_state, iters + 1))
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(self.params, self.opt_state, 1))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(self.params, self.opt_state, iters + 1))
+        t_long = time.perf_counter() - t0
+        del p1
+        return max(t_long - t_short, 0.0) / iters
+
     def evaluate(self, split_idx) -> Dict[str, float]:
         z = np.asarray(self._forward(self.params))
         y = np.asarray(self.y)

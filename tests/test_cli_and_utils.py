@@ -1,0 +1,97 @@
+"""CLI, transforms, checkpoint, and profiling-utility tests."""
+
+import numpy as np
+import pytest
+
+from hypergef_tpu.data.transforms import add_self_loops, extract_v2e
+from hypergef_tpu.data.synthetic import random_hypergraph
+
+
+def test_add_self_loops(tiny_hg):
+    hg2 = add_self_loops(tiny_hg)
+    # tiny_hg has no singleton edges → one new edge per vertex
+    assert hg2.num_edges == tiny_hg.num_edges + tiny_hg.num_nodes
+    sizes = hg2.edge_sizes()
+    assert (sizes[tiny_hg.num_edges :] == 1).all()
+    # vertices already in singleton edges are skipped
+    from hypergef_tpu.sparse.hypergraph import Hypergraph
+
+    hg3 = Hypergraph.from_coo(np.array([0, 1, 2]), np.array([0, 1, 1]),
+                              num_nodes=3, num_edges=2)
+    hg4 = add_self_loops(hg3)  # vertex 0 already singleton {0}
+    assert hg4.num_edges == 2 + 2  # only vertices 1, 2 get loops
+
+
+def test_extract_v2e():
+    # bipartite symmetric: V={0,1}, E ids offset by 2
+    ei = np.array([[2, 0, 1, 3], [0, 2, 3, 1]])
+    out = extract_v2e(ei, num_nodes=2)
+    assert (out[0] < 2).all()
+    assert out.shape[1] == 2
+
+
+def test_cli_synthetic_smoke(tmp_path):
+    from hypergef_tpu.train import cli
+
+    out = str(tmp_path / "res.csv")
+    res = cli.main([
+        "--synthetic", "homophilic", "--n", "200", "--e", "120",
+        "--classes", "3", "--feat", "8", "--nhid", "8", "--epochs", "10",
+        "--dropout", "0.1", "--input-drop", "0.1", "--output", out,
+    ])
+    assert np.isfinite(res["final_loss"])
+    line = open(out).read()
+    assert "HGNN" in line and "auto" in line
+
+
+def test_cli_minibatch_smoke():
+    from hypergef_tpu.train import cli
+
+    res = cli.main([
+        "--synthetic", "homophilic", "--n", "300", "--e", "200",
+        "--classes", "3", "--feat", "8", "--nhid", "8", "--epochs", "20",
+        "--minibatch-edges", "64", "--dropout", "0.1", "--input-drop", "0.1",
+    ])
+    assert np.isfinite(res["final_loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from hypergef_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+    opt_state = {"m": jnp.ones(3)}
+    save_checkpoint(str(tmp_path / "ck"), 7, params, opt_state)
+    step, p2, o2 = restore_checkpoint(
+        str(tmp_path / "ck"),
+        params_template=params,
+        opt_state_template=opt_state,
+    )
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(o2["m"]), np.asarray(opt_state["m"]))
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(str(tmp_path / "nope"), params, opt_state)
+
+
+def test_cost_analysis_traffic_report(small_hg):
+    from hypergef_tpu.ops import fused
+    from hypergef_tpu.sparse.planner import plan_aggregation
+    from hypergef_tpu.utils.profiling import traffic_report
+
+    hg = small_hg
+    hgd = hg.device_data()
+    plan = plan_aggregation(hg)
+    import jax.numpy as jnp
+
+    x = jnp.ones((hg.num_nodes, 8))
+    rep = traffic_report(
+        {
+            "xla": lambda a: fused.hgnn_aggregate(hgd, a, None, "sum", backend="xla"),
+            "cumsum": lambda a: fused.hgnn_aggregate(hgd, a, None, "sum", backend="cumsum"),
+        },
+        x,
+    )
+    assert "xla" in rep and "cumsum" in rep
+    assert rep["xla"].get("bytes_accessed", 0) >= 0

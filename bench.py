@@ -32,6 +32,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _apply_platform_env():
+    """The ambient sitecustomize pins jax to the TPU plugin via
+    config.update, so JAX_PLATFORMS alone is ignored — re-assert it."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "axon" not in plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 REF_CORA_FUSED_MS = 0.004795  # RTX 3090, BASELINE.md §1
 # Reference end-to-end HGNN train epoch, 20newsW100 nhid=32 (BASELINE.md §2):
 # hgsys (fused backend) 1.471 ms on RTX 3090, protocol = 10 warm-up +
@@ -48,13 +62,17 @@ def bench_e2e(args):
     from hypergef_tpu.data.synthetic import random_hypergraph, random_features
     from hypergef_tpu.train import TrainConfig, Trainer, rand_train_test_idx
 
+    _log(f"bench_e2e: devices={jax.devices()}")
     hg = random_hypergraph(16242, 100, avg_edge_size=654.5, seed=0, name="news20")
     x, y = random_features(hg.num_nodes, 100, 4, seed=1)
     split = rand_train_test_idx(y, seed=2)
     cfg = TrainConfig(model="HGNN", nhid=32, nlayer=2, epochs=1, warmup=0,
                       backend=args.backend if args.backend != "auto" else "auto")
+    _log(f"bench_e2e: graph={hg}, building trainer...")
     tr = Trainer(cfg, hg, x, y)
+    _log("bench_e2e: trainer ready, timing chained epochs (compiles may take minutes)...")
     t_s = tr.epoch_device_time(split["train"], iters=args.iters)
+    _log(f"bench_e2e: per-epoch {t_s*1e6:.1f} us")
     epochs_per_s = 1.0 / t_s if t_s > 0 else float("inf")
     vs = REF_20NEWS_EPOCH_MS / (t_s * 1e3)
     print(json.dumps({
@@ -118,8 +136,9 @@ def main():
     ap.add_argument("--config", default="cora")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--feat", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
+    _apply_platform_env()
     if args.mode == "e2e":
         bench_e2e(args)
     else:

@@ -1,0 +1,89 @@
+"""fig6 analogue: end-to-end train/inference epoch-time sweep.
+
+Reference: ``experiment/fig6.py`` sweeps 13 datasets × {32,64,128} hid ×
+3 backends × 3 models through hgsys.py, appending rows to fig6.csv.
+Here: named datasets when their raw files exist locally, otherwise
+reference-shaped synthetic graphs; the "backends" are this framework's
+aggregation backends.
+
+    python experiments/fig6.py --out fig6.csv --hids 32,64 --quick
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+# reference-shaped synthetic stand-ins (|V|, |E|, avg edge size, nfeat, ncls)
+SHAPES = {
+    "cora": (2708, 2708, 4.0, 1433, 7),
+    "citeseer": (3312, 3312, 3.2, 3703, 6),
+    "pubmed": (19717, 19717, 4.3, 500, 3),
+    "20newsW100": (16242, 100, 654.5, 100, 4),
+    "NTU2012": (2012, 2012, 5.0, 100, 67),
+    "Mushroom": (8124, 298, 500.0, 22, 2),
+}
+
+
+def run_one(name, model, nhid, backend, epochs):
+    from hypergef_tpu.data.datasets import DatasetNotAvailable, load_dataset
+    from hypergef_tpu.data.synthetic import random_features, random_hypergraph
+    from hypergef_tpu.train import TrainConfig, Trainer, rand_train_test_idx
+
+    try:
+        ds = load_dataset(name)
+        hg, x, y = ds.hg, ds.features, ds.labels
+        src = "real"
+    except (DatasetNotAvailable, Exception):
+        n, e, avg, nf, nc = SHAPES[name]
+        hg = random_hypergraph(n, e, avg_edge_size=avg, seed=0, name=name)
+        x, y = random_features(n, nf, nc, seed=1)
+        src = "synthetic"
+    split = rand_train_test_idx(y, seed=1)
+    cfg = TrainConfig(model=model, nhid=nhid, epochs=epochs, warmup=5,
+                      backend=backend)
+    tr = Trainer(cfg, hg, x, y)
+    res = tr.fit(split["train"])
+    res["inference_time_s"] = tr.time_inference(iters=max(epochs // 2, 1))
+    res.update(tr.evaluate(split))
+    return src, res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="fig6.csv")
+    ap.add_argument("--datasets", default="cora,pubmed,20newsW100")
+    ap.add_argument("--hids", default="32")
+    ap.add_argument("--models", default="HGNN,UniGIN,UniGCNII")
+    ap.add_argument("--backends", default="auto,cumsum")
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.epochs = 10
+    with open(args.out, "a") as f:
+        for name in args.datasets.split(","):
+            for model in args.models.split(","):
+                for nhid in map(int, args.hids.split(",")):
+                    for backend in args.backends.split(","):
+                        try:
+                            src, res = run_one(name, model, nhid, backend, args.epochs)
+                        except Exception as ex:
+                            print(f"{name}/{model}/{nhid}/{backend}: FAILED {ex}")
+                            continue
+                        row = (
+                            f"{backend},{model},{name}({src}),nhid={nhid},"
+                            f"{res['train_epoch_time_s']:.6f},"
+                            f"{res['inference_time_s']:.6f},"
+                            f"{res.get('test_acc', float('nan')):.2f}"
+                        )
+                        print(row)
+                        print(row, file=f, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ from hypergef_tpu.sparse.hypergraph import HypergraphData
 from hypergef_tpu.ops import refops, segments
 
 _DEFAULT_BACKEND = "cumsum"
-_VALID = ("auto", "xla", "cumsum", "ell", "tree", "dense", "pallas")
+_VALID = ("auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "pallas")
 
 
 def set_default_backend(name: str) -> None:
@@ -50,7 +50,7 @@ def _resolve(backend: Optional[str], plan) -> str:
     b = backend or _DEFAULT_BACKEND
     if b == "auto":
         b = getattr(plan, "preferred_backend", None) or "cumsum"
-    if b in ("ell", "pallas", "tree", "dense") and plan is None:
+    if b in ("ell", "pallas", "tree", "dense", "bsr") and plan is None:
         raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
 
@@ -159,6 +159,10 @@ def hgnn_aggregate(
             xe = xe * wdiag
         xv = _cumsum_e2v(hgd, xe)
         return xv * hgd.degV
+    if b == "bsr":
+        from hypergef_tpu.ops import bsr_ops
+
+        return bsr_ops.hgnn_aggregate_bsr(hgd, x, wdiag, first_aggr, _get(plan, "bsr"))
     if b == "tree":
         from hypergef_tpu.ops import tree as tree_ops
 
@@ -208,6 +212,10 @@ def unignn_aggregate(
         if use_deg:
             xv = xv * hgd.degV
         return xv
+    if b == "bsr":
+        from hypergef_tpu.ops import bsr_ops
+
+        return bsr_ops.unignn_aggregate_bsr(hgd, x, use_deg, _get(plan, "bsr"))
     if b == "tree":
         from hypergef_tpu.ops import tree as tree_ops
 

@@ -323,6 +323,7 @@ class AggregationPlan:
     tree: "TreePlan"
     dense: Optional[DenseIncidence] = None
     tile: Optional["TilePlan"] = None
+    bsr: Optional[object] = None  # BsrPlan (sparse.bsr)
     preferred_backend: str = "tree"
 
 
@@ -335,18 +336,38 @@ def plan_aggregation(
     hg,
     dense_threshold: int = DENSE_AUTO_THRESHOLD,
     with_tile: bool = False,
+    with_bsr: Optional[bool] = None,
+    bsr_fill_threshold: float = 0.02,
     ngs: Optional[int] = None,
     fan: int = 8,
 ) -> AggregationPlan:
-    """Build the full aggregation plan for a hypergraph (host-side, once)."""
+    """Build the full aggregation plan for a hypergraph (host-side, once).
+
+    Auto-selection ladder (the reference's kernel auto-select analogue):
+    dense-MXU for small H; BSR-MXU when (RCM-reordered) block fill is
+    high enough to beat the gather-bound tree path; tree otherwise.
+    """
     tree = plan_tree(hg, ngs=ngs, fan=fan)
     dense = None
+    bsr = None
     preferred = "tree"
     if hg.num_nodes * hg.num_edges <= dense_threshold:
         dense = DenseIncidence.from_hypergraph(hg)
         preferred = "dense"
+    elif with_bsr or with_bsr is None:
+        try:
+            from hypergef_tpu.sparse.bsr import plan_bsr
+
+            cand = plan_bsr(hg, reorder=True)
+            if with_bsr or cand.fill_fraction() >= bsr_fill_threshold:
+                bsr = cand
+                preferred = "bsr"
+        except MemoryError:
+            pass
     tile = plan_tiles(hg) if with_tile else None
-    return AggregationPlan(tree=tree, dense=dense, tile=tile, preferred_backend=preferred)
+    return AggregationPlan(
+        tree=tree, dense=dense, tile=tile, bsr=bsr, preferred_backend=preferred
+    )
 
 
 class TilePlanData(NamedTuple):

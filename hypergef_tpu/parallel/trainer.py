@@ -1,0 +1,92 @@
+"""Distributed trainer: edge-partitioned full-batch training on a mesh.
+
+BASELINE config #5 driver: train the 2-layer HGNN with the sharded
+aggregation program, reference timing protocol, usable on the simulated
+CPU mesh (tests / dry-runs) and on real multi-chip meshes unchanged.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypergef_tpu.parallel.dist_model import init_dist_params, make_dist_train_step
+from hypergef_tpu.parallel.mesh import make_mesh
+from hypergef_tpu.parallel.partition import plan_sharded_aggregation
+from hypergef_tpu.train.splits import accuracy
+
+
+class DistTrainer:
+    def __init__(
+        self,
+        hg,
+        x: np.ndarray,
+        y: np.ndarray,
+        nhid: int = 32,
+        nclass: Optional[int] = None,
+        n_shards: Optional[int] = None,
+        n_feature: int = 1,
+        lr: float = 0.01,
+        wd: float = 5e-4,
+        seed: int = 1,
+        mesh=None,
+    ):
+        n_dev = len(jax.devices())
+        if mesh is None:
+            if n_shards is None:
+                n_shards = n_dev // n_feature
+            mesh = make_mesh(n_shards, n_feature,
+                             devices=jax.devices()[: n_shards * n_feature])
+        self.mesh = mesh
+        self.n_shards = mesh.devices.shape[0]
+        self.plan = plan_sharded_aggregation(hg, self.n_shards)
+        self.x = jnp.asarray(x, dtype=jnp.float32)
+        self.y = jnp.asarray(np.asarray(y), dtype=jnp.int32)
+        self.nclass = int(nclass if nclass is not None else int(np.asarray(y).max()) + 1)
+        self.degV = jnp.asarray(hg.degV)
+        self.step, self.tx, self.forward = make_dist_train_step(
+            mesh, self.plan, self.degV, lr=lr, wd=wd,
+            feature_sharded=(mesh.devices.shape[1] > 1),
+        )
+        self.params = init_dist_params(
+            jax.random.key(seed), self.x.shape[1], nhid, self.nclass
+        )
+        self.opt_state = self.tx.init(self.params)
+
+    def fit(self, train_idx, epochs: int = 100, warmup: int = 10) -> Dict[str, float]:
+        mask = np.zeros(self.x.shape[0], dtype=np.float32)
+        mask[np.asarray(train_idx)] = 1.0
+        mask = jnp.asarray(mask)
+        params, opt_state = self.params, self.opt_state
+        loss = jnp.zeros(())
+        for _ in range(warmup):
+            params, opt_state, loss = self.step(
+                params, opt_state, self.x, self.y, mask
+            )
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(epochs):
+            params, opt_state, loss = self.step(
+                params, opt_state, self.x, self.y, mask
+            )
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        self.params, self.opt_state = params, opt_state
+        return {
+            "train_epoch_time_s": dt / max(epochs, 1),
+            "final_loss": float(loss),
+            "n_shards": self.n_shards,
+        }
+
+    def evaluate(self, split_idx) -> Dict[str, float]:
+        z = np.asarray(self.forward(self.params, self.x))
+        y = np.asarray(self.y)
+        return {
+            f"{name}_acc": accuracy(z[np.asarray(idx)], y[np.asarray(idx)])
+            for name, idx in split_idx.items()
+            if np.asarray(idx).size
+        }

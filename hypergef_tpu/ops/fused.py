@@ -189,7 +189,13 @@ def hgnn_aggregate(
     if b == "pallas":
         from hypergef_tpu.ops import pallas_kernels
 
-        return pallas_kernels.hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan)
+        try:
+            return pallas_kernels.hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan)
+        except ValueError:
+            # budget/feature guard tripped at trace time → dense fallback
+            if getattr(plan, "dense", None) is not None:
+                return hgnn_aggregate(hgd, x, wdiag, first_aggr, plan, "dense")
+            raise
     raise AssertionError(b)
 
 
@@ -245,5 +251,10 @@ def unignn_aggregate(
     if b == "pallas":
         from hypergef_tpu.ops import pallas_kernels
 
-        return pallas_kernels.unignn_aggregate_pallas(hgd, x, use_deg, plan)
+        try:
+            return pallas_kernels.unignn_aggregate_pallas(hgd, x, use_deg, plan)
+        except ValueError:
+            if getattr(plan, "dense", None) is not None:
+                return unignn_aggregate(hgd, x, use_deg, plan, "dense")
+            raise
     raise AssertionError(b)

@@ -166,10 +166,14 @@ VMEM_XE_BUDGET = 4 * 1024 * 1024  # bytes for the Xe scratch
 
 
 def hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan, interpret=False):
-    """``pallas`` backend entry: fused dense two-stage kernel."""
-    if first_aggr != "sum":
-        raise ValueError("pallas backend implements first_aggr='sum' "
-                         "(mean/max route to other backends)")
+    """``pallas`` backend entry: fused dense two-stage kernel.
+
+    ``mean`` first-aggregation folds 1/|e| into the edge-side scale (the
+    kernel computes sums; mean = sum ⊙ 1/cnt ⊙ degE ⊙ Wdiag).
+    """
+    if first_aggr not in ("sum", "mean"):
+        raise ValueError("pallas backend implements first_aggr in {sum, mean} "
+                         "(max routes to the nnz oracle path)")
     dense = getattr(plan, "dense", None) or plan
     if not isinstance(dense, DenseIncidence):
         raise ValueError("pallas backend needs a plan with a DenseIncidence "
@@ -181,6 +185,10 @@ def hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan, interpret=False):
             f"Xe ({e}x{f}) exceeds the VMEM scratch budget; use bsr/tree"
         )
     scale_e = hgd.degE if wdiag is None else hgd.degE * wdiag
+    if first_aggr == "mean":
+        cnt = (hgd.ht_indptr[1:] - hgd.ht_indptr[:-1]).astype(x.dtype)[:, None]
+        scale_e = scale_e / jnp.maximum(cnt, 1.0)
+    interpret = interpret or jax.default_backend() == "cpu"
     return _fused_dense_op(dense.h, x, scale_e, hgd.degV, interpret)
 
 
@@ -192,4 +200,5 @@ def unignn_aggregate_pallas(hgd, x, use_deg, plan, interpret=False):
     ones_v = jnp.ones((dense.num_nodes, 1), x.dtype)
     scale_e = hgd.degE if use_deg else ones_e
     scale_v = hgd.degV if use_deg else ones_v
+    interpret = interpret or jax.default_backend() == "cpu"
     return _fused_dense_op(dense.h, x, scale_e, scale_v, interpret)

@@ -102,7 +102,7 @@ def test_dense_backend_matches_oracle(small_hg, aggr):
     hg = small_hg
     hgd = hg.device_data()
     plan = plan_aggregation(hg)
-    assert plan.preferred_backend == "dense"  # small graph
+    assert plan.preferred_backend in ("dense", "pallas")  # small graph
     x = rand_x(hg, f=8, seed=5)
     got = fused.hgnn_aggregate(hgd, x, None, aggr, plan=plan, backend="dense")
     want = dense_hgnn_oracle(hg, x, None, aggr)

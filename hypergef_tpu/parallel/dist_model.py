@@ -20,13 +20,16 @@ from hypergef_tpu.parallel.dist_aggr import sharded_hgnn_aggregate
 from hypergef_tpu.train.trainer import make_optimizer
 
 
-def init_dist_params(rng, nfeat: int, nhid: int, nclass: int):
+def init_dist_params(rng, nfeat: int, nhid: int, nclass: int, class_pad: int = 1):
+    """``class_pad``: round the classifier width up to this multiple so
+    the logits dimension stays divisible by the feature-mesh axis."""
     k1, k2 = jax.random.split(rng)
+    ncls_p = -(-nclass // class_pad) * class_pad
     scale1 = (1.0 / nfeat) ** 0.5
     scale2 = (1.0 / nhid) ** 0.5
     return {
         "W1": jax.random.uniform(k1, (nfeat, nhid), minval=-scale1, maxval=scale1),
-        "W2": jax.random.uniform(k2, (nhid, nclass), minval=-scale2, maxval=scale2),
+        "W2": jax.random.uniform(k2, (nhid, ncls_p), minval=-scale2, maxval=scale2),
     }
 
 
@@ -38,10 +41,13 @@ def make_dist_train_step(
     wd: float = 5e-4,
     first_aggr: str = "sum",
     feature_sharded: bool = False,
+    nclass: int = None,
 ):
-    """Returns (jitted_step, tx) for the 2-layer distributed HGNN.
+    """Returns (jitted_step, tx, forward) for the 2-layer distributed HGNN.
 
     step(params, opt_state, x, y, train_mask) -> (params, opt_state, loss)
+    When the classifier width is padded for feature-mesh divisibility,
+    pass ``nclass`` so padded logit columns are masked out of the softmax.
     """
     tx = make_optimizer(lr, wd)
 
@@ -55,10 +61,16 @@ def make_dist_train_step(
             plan, mesh, h @ params["W2"], None, first_aggr, degV=degV,
             feature_sharded=feature_sharded,
         )
+        if nclass is not None and z.shape[1] > nclass:
+            ncols = z.shape[1]
+            col = jnp.arange(ncols)[None, :]
+            z = jnp.where(col < nclass, z, -1e30)
         return jax.nn.log_softmax(z, axis=1)
 
     def loss_fn(params, x, y, train_mask):
         logp = forward(params, x)
+        # padded classifier columns (feature-mesh divisibility) are
+        # excluded by indexing true labels only
         picked = jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
         return -jnp.sum(picked * train_mask) / jnp.maximum(train_mask.sum(), 1.0)
 

@@ -48,12 +48,16 @@ class DistTrainer:
         self.y = jnp.asarray(np.asarray(y), dtype=jnp.int32)
         self.nclass = int(nclass if nclass is not None else int(np.asarray(y).max()) + 1)
         self.degV = jnp.asarray(hg.degV)
+        n_f = mesh.devices.shape[1]
+        if nhid % n_f != 0:
+            raise ValueError(f"nhid={nhid} must be divisible by the feature-mesh axis ({n_f})")
         self.step, self.tx, self.forward = make_dist_train_step(
             mesh, self.plan, self.degV, lr=lr, wd=wd,
-            feature_sharded=(mesh.devices.shape[1] > 1),
+            feature_sharded=(n_f > 1), nclass=self.nclass,
         )
         self.params = init_dist_params(
-            jax.random.key(seed), self.x.shape[1], nhid, self.nclass
+            jax.random.key(seed), self.x.shape[1], nhid, self.nclass,
+            class_pad=n_f,
         )
         self.opt_state = self.tx.init(self.params)
 

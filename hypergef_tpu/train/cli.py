@@ -126,6 +126,16 @@ def main(argv=None):
         seed=args.seed,
         backend=args.backend,
     )
+    if args.profile:
+        # reference --profile fast path (hgsys.py:146-159): time the raw
+        # epoch loop without the warm-up/timed split
+        import time
+
+        tr = Trainer(cfg, hg, x, y)
+        t0 = time.perf_counter()
+        res = tr.fit(split["train"], epochs=args.epochs, warmup=0)
+        print(f"epoch time: {time.perf_counter() - t0:.4f}")
+        return res
     if args.minibatch_edges > 0:
         from hypergef_tpu.train.minibatch import MinibatchTrainer
 

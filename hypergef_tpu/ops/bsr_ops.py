@@ -41,9 +41,13 @@ def _apply_bsr_stage(x, stage):
     return combined.reshape(-1, f)  # [num_row_blocks*B, F]
 
 
-@jax.custom_vjp
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def bsr_matvec(x, fwd_stage, bwd_stage, num_rows):
-    """y = M x via BSR; bwd_stage encodes Mᵀ for the adjoint."""
+    """y = M x via BSR; bwd_stage encodes Mᵀ for the adjoint.
+    ``num_rows`` is static (slice bound)."""
     y = _apply_bsr_stage(x, fwd_stage)
     return y[:num_rows]
 
@@ -56,10 +60,10 @@ def _bm_fwd(x, fwd_stage, bwd_stage, num_rows):
     )
 
 
-def _bm_bwd(res, g):
+def _bm_bwd(num_rows, res, g):
     fwd_stage, bwd_stage, n_in = res
     dx = bsr_matvec(g, bwd_stage, fwd_stage, n_in)
-    return dx, None, None, None
+    return dx, None, None
 
 
 bsr_matvec.defvjp(_bm_fwd, _bm_bwd)

@@ -163,6 +163,22 @@ _fused_dense_op.defvjp(_fd_fwd, _fd_bwd)
 
 
 VMEM_XE_BUDGET = 4 * 1024 * 1024  # bytes for the Xe scratch
+VMEM_TOTAL_BUDGET = 11 * 1024 * 1024  # all kernel buffers (16MB VMEM - slack)
+
+
+def _vmem_bytes(n, e, f, e_tile=256, n_tile=256):
+    """Upper bound of the kernel's resident VMEM buffers."""
+    n_pad = _round_up(n, n_tile)
+    e_pad = _round_up(e, e_tile)
+    f_pad = _round_up(f, _LANE)
+    return (
+        n_pad * e_tile * 2  # Hᵀ column block (bf16)
+        + n_tile * e_pad * 2  # H row block (bf16)
+        + n_pad * f_pad * 4  # X
+        + e_pad * f_pad * 4  # Xe scratch
+        + n_tile * f_pad * 4  # out tile
+        + (e_tile + n_tile) * _LANE * 4  # scales
+    )
 
 
 def hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan, interpret=False):
@@ -184,6 +200,11 @@ def hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan, interpret=False):
         raise ValueError(
             f"Xe ({e}x{f}) exceeds the VMEM scratch budget; use bsr/tree"
         )
+    if _vmem_bytes(dense.num_nodes, e, f) > VMEM_TOTAL_BUDGET:
+        raise ValueError(
+            "fused dense kernel buffers exceed VMEM for this (N, E, F); "
+            "dense backend handles this shape"
+        )
     scale_e = hgd.degE if wdiag is None else hgd.degE * wdiag
     if first_aggr == "mean":
         cnt = (hgd.ht_indptr[1:] - hgd.ht_indptr[:-1]).astype(x.dtype)[:, None]
@@ -196,6 +217,11 @@ def unignn_aggregate_pallas(hgd, x, use_deg, plan, interpret=False):
     dense = getattr(plan, "dense", None) or plan
     if not isinstance(dense, DenseIncidence):
         raise ValueError("pallas backend needs a plan with a DenseIncidence")
+    if _vmem_bytes(dense.num_nodes, dense.num_edges, x.shape[1]) > VMEM_TOTAL_BUDGET:
+        raise ValueError(
+            "fused dense kernel buffers exceed VMEM for this (N, E, F); "
+            "dense backend handles this shape"
+        )
     ones_e = jnp.ones((dense.num_edges, 1), x.dtype)
     ones_v = jnp.ones((dense.num_nodes, 1), x.dtype)
     scale_e = hgd.degE if use_deg else ones_e

@@ -71,13 +71,13 @@ class DistTrainer:
             params, opt_state, loss = self.step(
                 params, opt_state, self.x, self.y, mask
             )
-        jax.block_until_ready(loss)
+        float(loss)  # true device fence (see utils/timing.sync)
         t0 = time.perf_counter()
         for _ in range(epochs):
             params, opt_state, loss = self.step(
                 params, opt_state, self.x, self.y, mask
             )
-        jax.block_until_ready(loss)
+        float(loss)
         dt = time.perf_counter() - t0
         self.params, self.opt_state = params, opt_state
         return {

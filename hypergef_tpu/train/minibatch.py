@@ -103,7 +103,7 @@ class MinibatchTrainer:
                 )
                 losses.append(loss)
                 n_batches += 1
-        jax.block_until_ready(losses[-1])
+        float(losses[-1])  # true device fence
         dt = time.perf_counter() - t0
         return {
             "final_loss": float(losses[-1]),

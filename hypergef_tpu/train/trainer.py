@@ -152,13 +152,14 @@ class Trainer:
             params, opt_state, rng, loss = self._train_step(
                 params, opt_state, rng, train_idx
             )
-        jax.block_until_ready(loss)
+        float(loss)  # true device fence (block_until_ready is unreliable
+        # on the tunneled backend — see utils/timing.sync)
         t0 = time.perf_counter()
         for _ in range(epochs):
             params, opt_state, rng, loss = self._train_step(
                 params, opt_state, rng, train_idx
             )
-        jax.block_until_ready(loss)
+        float(loss)
         t1 = time.perf_counter()
         self.params, self.opt_state = params, opt_state
         return {
@@ -203,16 +204,17 @@ class Trainer:
             (p, o), _ = jax.lax.fori_loop(0, n, body, ((params, opt_state), 0.0))
             return p
 
+        from hypergef_tpu.utils.timing import sync
+
         f = jax.jit(run, static_argnums=2)
-        p1 = jax.block_until_ready(f(self.params, self.opt_state, 1))
-        jax.block_until_ready(f(self.params, self.opt_state, iters + 1))
+        sync(f(self.params, self.opt_state, 1))
+        sync(f(self.params, self.opt_state, iters + 1))
         t0 = time.perf_counter()
-        jax.block_until_ready(f(self.params, self.opt_state, 1))
+        sync(f(self.params, self.opt_state, 1))
         t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(f(self.params, self.opt_state, iters + 1))
+        sync(f(self.params, self.opt_state, iters + 1))
         t_long = time.perf_counter() - t0
-        del p1
         return max(t_long - t_short, 0.0) / iters
 
     def evaluate(self, split_idx) -> Dict[str, float]:
@@ -226,13 +228,15 @@ class Trainer:
         return out
 
     def time_inference(self, iters: int = 200, warmup: int = 10) -> float:
+        from hypergef_tpu.utils.timing import sync
+
         for _ in range(warmup):
             z = self._forward(self.params)
-        jax.block_until_ready(z)
+        sync(z)
         t0 = time.perf_counter()
         for _ in range(iters):
             z = self._forward(self.params)
-        jax.block_until_ready(z)
+        sync(z)
         t1 = time.perf_counter()
         return (t1 - t0) / iters
 

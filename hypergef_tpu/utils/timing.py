@@ -15,6 +15,23 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+
+
+def sync(y) -> float:
+    """Reliable device synchronization: force a value fetch.
+
+    On the tunneled axon backend ``jax.block_until_ready`` returns
+    before execution completes (verified empirically: a 10.9 s program
+    "blocked" in 0.1 ms and surfaced at the value fetch).  Fetching a
+    scalar reduction is the only trustworthy fence — use this in every
+    timing bracket.
+    """
+    leaves = jax.tree_util.tree_leaves(y)
+    total = 0.0
+    for leaf in leaves[:1]:  # one leaf is enough — queue is in-order
+        total = float(jnp.sum(leaf))
+    return total
 
 
 class Timer:
@@ -34,34 +51,41 @@ class Timer:
 
 
 def device_time_per_iter(
-    step: Callable[[jax.Array], jax.Array],
+    step: Callable[..., jax.Array],
     x: jax.Array,
     iters: int = 50,
     repeats: int = 3,
+    operands: tuple = (),
 ) -> dict:
-    """Measure per-iteration device time of ``step`` (shape-preserving).
+    """Measure per-iteration device time of ``step`` (shape-preserving
+    in its first argument).
 
     Chains ``step`` inside ``lax.fori_loop`` so the K-iteration program
     is one dispatch; reports ``(T(K+1) − T(1)) / K`` minimized over
     ``repeats`` runs, plus the compile time of the long program.
+
+    ``operands``: extra pytrees passed as real jit arguments — REQUIRED
+    for large constant arrays (plans, dense H) on the tunneled TPU,
+    whose remote-compile service rejects programs with >~200 MB of
+    embedded closure constants (HTTP 413).
     """
 
-    def loop(x0, n):
-        return jax.lax.fori_loop(0, n, lambda i, a: step(a), x0)
+    def loop(x0, n, *ops):
+        return jax.lax.fori_loop(0, n, lambda i, a: step(a, *ops), x0)
 
     f = jax.jit(loop, static_argnums=1)
     t0 = time.perf_counter()
-    jax.block_until_ready(f(x, 1))
+    sync(f(x, 1, *operands))
     compile_short = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(f(x, iters + 1))
+    sync(f(x, iters + 1, *operands))
     compile_long = time.perf_counter() - t0
 
     def timed(n):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(x, n))
+            sync(f(x, n, *operands))
             best = min(best, time.perf_counter() - t0)
         return best
 

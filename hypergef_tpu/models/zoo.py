@@ -23,8 +23,9 @@ from hypergef_tpu.models.layers import HGNNConv, UniGINConv, UniGCNIIConv
 _ACTS = {
     "relu": nn.relu,
     "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
-    "prelu": nn.relu,  # reference offers PReLU for UniGCNII only; relu default
 }
+# 'prelu' (offered by the reference for UniGCNII, gnn.py:152) is a
+# parameterized module — handled inside the models via nn.PReLU.
 
 
 class HGNN(nn.Module):
@@ -100,7 +101,10 @@ class UniGCNII(nn.Module):
 
     @nn.compact
     def __call__(self, x, hgd, plan=None, deterministic: bool = True):
-        act = _ACTS[self.activation]
+        if self.activation == "prelu":
+            act = nn.PReLU()  # single shared learnable slope (ref gnn.py:152)
+        else:
+            act = _ACTS[self.activation]
         nhid = self.nhid * self.nhead
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = act(nn.Dense(nhid, name="lin_in")(x))

@@ -1,0 +1,151 @@
+"""Fully-sharded halo aggregation under ``shard_map``.
+
+Per-device program for one fused HGNN aggregation with X *vertex-sharded*
+(owned blocks of ⌈N/D⌉ rows per device) — communication is two
+``all_to_all`` calls of the boundary sets only (comm ∝ cut size):
+
+    1. halo in:   owners send the X rows each worker's edges touch
+    2. local:     V→E tree (compact touched ids) → scale → E→V tree
+    3. return:    workers send per-owner partial rows back
+    4. combine:   owner-side reduction tree accumulates incoming partials
+                  → out owned block ⊙ degV
+
+Exact gradients flow through ``all_to_all`` (its transpose is the
+reverse all_to_all) and the scatter-free local trees.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from hypergef_tpu.parallel.mesh import EDGE_AXIS
+
+
+def _sq(tree):
+    return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+def _apply_levels(x, levels, final_idx, final_mask):
+    p = x
+    for g, m in levels:
+        c, fan = g.shape
+        gathered = jnp.take(p, g.reshape(-1), axis=0).reshape(c, fan, -1)
+        p = jnp.sum(gathered * m[:, :, None], axis=1)
+    return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
+
+
+def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
+                        first_aggr: str = "sum"):
+    """x_own: [D·n_own, F] vertex-sharded on the edge axis (each device
+    holds its owned block).  Returns the aggregated output in the same
+    sharded layout."""
+    if first_aggr not in ("sum", "mean"):
+        raise ValueError("halo path supports first_aggr in {sum, mean}")
+    plan_dev = plan.device()
+    specs = jax.tree_util.tree_map(lambda _: P(EDGE_AXIS), plan_dev)
+
+    def body(pl, x_blk, wdiag):
+        (e_levels, e_fi, e_fm, e_cn, v_levels, v_fi, v_fm,
+         send_slot, send_mask, halo_send_slot, halo_idx,
+         own_levels, own_fi, own_fm, degE, degV_own) = _sq(pl)
+        x_blk = x_blk  # [n_own, F] owned rows
+        f = x_blk.shape[1]
+        # 1. halo out (as owner): gather rows for each dst, all_to_all
+        hs = halo_send_slot  # [D, b_cap]
+        d_, b_cap = hs.shape
+        halo_out = jnp.take(x_blk, hs.reshape(-1), axis=0).reshape(d_, b_cap, f)
+        halo_in = jax.lax.all_to_all(
+            halo_out, EDGE_AXIS, split_axis=0, concat_axis=0, tiled=False
+        )  # [D, b_cap, F]: block i = rows from owner i
+        x_t = jnp.take(halo_in.reshape(d_ * b_cap, f), halo_idx, axis=0)
+        # 2. local two-stage aggregation over compact touched ids
+        xe = _apply_levels(x_t, e_levels, e_fi, e_fm)  # [e_pad, F]
+        if first_aggr == "mean":
+            xe = xe / jnp.maximum(e_cn, 1.0)[:, None]
+        xe = xe * degE
+        if wdiag is not None:
+            xe = xe * wdiag[0]
+        part = _apply_levels(xe, v_levels, v_fi, v_fm)  # [t_max, F]
+        # 3. return partials to owners
+        ret_out = (
+            jnp.take(part, send_slot.reshape(-1), axis=0).reshape(d_, b_cap, f)
+            * send_mask[:, :, None]
+        )
+        ret_in = jax.lax.all_to_all(
+            ret_out, EDGE_AXIS, split_axis=0, concat_axis=0, tiled=False
+        )  # [D, b_cap, F]: block i = partials from worker i
+        # 4. owner-side combine
+        out = _apply_levels(
+            ret_in.reshape(d_ * b_cap, f), own_levels, own_fi, own_fm
+        )  # [n_own, F]
+        return out * degV_own
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            specs,
+            P(EDGE_AXIS),
+            None if wdiag_stacked is None else P(EDGE_AXIS),
+        ),
+        out_specs=P(EDGE_AXIS),
+        check_vma=False,
+    )
+    return fn(plan_dev, x_own, wdiag_stacked)
+
+
+def make_halo_train_step(mesh, plan, lr: float = 0.01, wd: float = 5e-4,
+                         first_aggr: str = "sum", nclass: int = None):
+    """Fully-sharded 2-layer HGNN training step: X, activations, labels
+    and loss terms all live in the vertex-owner layout; the only
+    cross-device traffic is the boundary all_to_all pairs (plus scalar
+    psums for the loss).  Returns (jitted_step, tx, forward)."""
+    import optax
+
+    from hypergef_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(lr, wd)
+
+    def forward(params, x_own):
+        h = halo_hgnn_aggregate(plan, mesh, x_own @ params["W1"], None, first_aggr)
+        h = jax.nn.relu(h)
+        z = halo_hgnn_aggregate(plan, mesh, h @ params["W2"], None, first_aggr)
+        if nclass is not None and z.shape[1] > nclass:
+            col = jnp.arange(z.shape[1])[None, :]
+            z = jnp.where(col < nclass, z, -1e30)
+        return jax.nn.log_softmax(z, axis=1)
+
+    def loss_fn(params, x_own, y_own, mask_own):
+        logp = forward(params, x_own)
+        picked = jnp.take_along_axis(logp, y_own[:, None], axis=1)[:, 0]
+        return -jnp.sum(picked * mask_own) / jnp.maximum(mask_own.sum(), 1.0)
+
+    @jax.jit
+    def step(params, opt_state, x_own, y_own, mask_own):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x_own, y_own, mask_own)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, tx, forward
+
+
+def shard_vertex_features(plan, x):
+    """[N, F] → [D·n_own, F] padded owner-block layout (host-side prep)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    n_own, d = plan.n_own, plan.n_shards
+    out = np.zeros((d * n_own, x.shape[1]), dtype=x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def unshard_vertex_features(plan, x_own):
+    """[D·n_own, F] owner-block layout → [N, F]."""
+    import numpy as np
+
+    return np.asarray(x_own)[: plan.num_nodes]

@@ -1,0 +1,99 @@
+"""Halo (boundary all-to-all) fully-sharded aggregation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypergef_tpu.parallel import make_mesh
+from hypergef_tpu.parallel.halo import plan_halo
+from hypergef_tpu.parallel.halo_aggr import (
+    halo_hgnn_aggregate,
+    shard_vertex_features,
+    unshard_vertex_features,
+)
+
+from conftest import dense_hgnn_oracle
+
+
+def rand_x(hg, f=6, seed=0):
+    return np.random.default_rng(seed).normal(size=(hg.num_nodes, f)).astype(np.float32)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+@pytest.mark.parametrize("aggr", ["sum", "mean"])
+def test_halo_matches_oracle(skewed_hg, n_shards, aggr):
+    hg = skewed_hg
+    mesh = make_mesh(n_shards, 1, devices=jax.devices()[:n_shards])
+    plan = plan_halo(hg, n_shards)
+    x = rand_x(hg, seed=1)
+    x_own = jnp.asarray(shard_vertex_features(plan, x))
+    out_own = halo_hgnn_aggregate(plan, mesh, x_own, None, aggr)
+    got = unshard_vertex_features(plan, out_own)
+    want = dense_hgnn_oracle(hg, x, None, aggr)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_with_wdiag(small_hg):
+    hg = small_hg
+    mesh = make_mesh(8, 1)
+    plan = plan_halo(hg, 8)
+    x = rand_x(hg, f=4, seed=2)
+    w = np.random.default_rng(3).uniform(0.5, 1.5, (hg.num_edges, 1)).astype(np.float32)
+    # wdiag stacked per edge shard
+    from hypergef_tpu.parallel.partition import ShardedAggPlan
+
+    w_stacked = np.zeros((8, plan.e_pad, 1), dtype=np.float32)
+    for d in range(8):
+        e0, e1 = int(plan.edge_bounds[d]), int(plan.edge_bounds[d + 1])
+        w_stacked[d, : e1 - e0] = w[e0:e1]
+    x_own = jnp.asarray(shard_vertex_features(plan, x))
+    out_own = halo_hgnn_aggregate(plan, mesh, x_own, jnp.asarray(w_stacked), "sum")
+    got = unshard_vertex_features(plan, out_own)
+    want = dense_hgnn_oracle(hg, x, w, "sum")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_comm_smaller_than_replication(skewed_hg):
+    plan = plan_halo(skewed_hg, 8)
+    # boundary exchange must move less than full replication
+    assert plan.comm_fraction() < 1.0
+
+
+def test_halo_grad_matches_single_device(skewed_hg):
+    from hypergef_tpu.ops import fused
+    from hypergef_tpu.sparse.planner import plan_tree
+
+    hg = skewed_hg
+    mesh = make_mesh(8, 1)
+    plan = plan_halo(hg, 8)
+    tplan = plan_tree(hg)
+    hgd = hg.device_data()
+    x = rand_x(hg, f=4, seed=5)
+    x_own = jnp.asarray(shard_vertex_features(plan, x))
+
+    g_halo = jax.grad(
+        lambda xv: jnp.sum(halo_hgnn_aggregate(plan, mesh, xv, None, "sum") ** 2)
+    )(x_own)
+    g_single = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=tplan, backend="tree") ** 2
+        )
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(
+        unshard_vertex_features(plan, g_halo), np.asarray(g_single),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_halo_under_jit(skewed_hg):
+    hg = skewed_hg
+    mesh = make_mesh(8, 1)
+    plan = plan_halo(hg, 8)
+    x_own = jnp.asarray(shard_vertex_features(plan, rand_x(hg, f=4, seed=6)))
+    f = jax.jit(lambda xv: halo_hgnn_aggregate(plan, mesh, xv, None, "sum"))
+    out = f(x_own)
+    want = dense_hgnn_oracle(hg, rand_x(hg, f=4, seed=6), None, "sum")
+    np.testing.assert_allclose(
+        unshard_vertex_features(plan, out), want, rtol=1e-4, atol=1e-4
+    )

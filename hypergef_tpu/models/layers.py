@@ -53,7 +53,9 @@ class HGNNConv(nn.Module):
                 "wdiag", nn.initializers.ones, (num_edges, 1), self.param_dtype
             )
         else:
-            wdiag = jnp.ones((num_edges, 1), dtype=x.dtype)
+            # frozen Wdiag ≡ ones: pass None so backends that fold the
+            # scaling ahead of time (precomp) stay applicable
+            wdiag = None
         return fused.hgnn_aggregate(
             hgd, x, wdiag, self.first_aggr, plan=plan, backend=self.backend
         )

@@ -32,7 +32,7 @@ from hypergef_tpu.sparse.hypergraph import HypergraphData
 from hypergef_tpu.ops import refops, segments
 
 _DEFAULT_BACKEND = "cumsum"
-_VALID = ("auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "pallas")
+_VALID = ("auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "precomp", "pallas")
 
 
 def set_default_backend(name: str) -> None:
@@ -50,7 +50,7 @@ def _resolve(backend: Optional[str], plan) -> str:
     b = backend or _DEFAULT_BACKEND
     if b == "auto":
         b = getattr(plan, "preferred_backend", None) or "cumsum"
-    if b in ("ell", "pallas", "tree", "dense", "bsr") and plan is None:
+    if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp") and plan is None:
         raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
 
@@ -159,6 +159,20 @@ def hgnn_aggregate(
             xe = xe * wdiag
         xv = _cumsum_e2v(hgd, xe)
         return xv * hgd.degV
+    if b == "precomp":
+        # valid only for sum aggregation with frozen (ones) Wdiag — the
+        # whole fused op is ONE matmul against the precomputed
+        # propagation matrix (the reference's SpGEMM-precompute
+        # strategy, spgemm.cuh, made dense-MXU).
+        pre = getattr(plan, "precomp", None) or plan
+        if wdiag is None and first_aggr == "sum" and pre is not None and hasattr(pre, "a"):
+            return jax.lax.dot_general(
+                pre.a, x.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # fall through to the next-best backend
+        fallback = "dense" if getattr(plan, "dense", None) is not None else "tree"
+        return hgnn_aggregate(hgd, x, wdiag, first_aggr, plan, fallback)
     if b == "bsr":
         from hypergef_tpu.ops import bsr_ops
 
@@ -218,6 +232,16 @@ def unignn_aggregate(
         if use_deg:
             xv = xv * hgd.degV
         return xv
+    if b == "precomp":
+        pre = getattr(plan, "precomp", None) or plan
+        if use_deg and pre is not None and hasattr(pre, "a"):
+            # degree-scaled UniGNN propagation == the HGNN A matrix
+            return jax.lax.dot_general(
+                pre.a, x.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        fallback = "dense" if getattr(plan, "dense", None) is not None else "tree"
+        return unignn_aggregate(hgd, x, use_deg, plan, fallback)
     if b == "bsr":
         from hypergef_tpu.ops import bsr_ops
 

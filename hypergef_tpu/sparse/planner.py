@@ -324,6 +324,7 @@ class AggregationPlan:
     dense: Optional[DenseIncidence] = None
     tile: Optional["TilePlan"] = None
     bsr: Optional[object] = None  # BsrPlan (sparse.bsr)
+    precomp: Optional[DensePrecomp] = None
     preferred_backend: str = "tree"
 
 
@@ -331,12 +332,40 @@ class AggregationPlan:
 # well above cora=7.3e6 and dense is also memory-bounded by N*E*2 bytes).
 DENSE_AUTO_THRESHOLD = 32_000_000
 
+# N² entries below which the precomputed propagation matrix
+# A = diag(degV)·H·diag(degE)·Hᵀ is materialized (bf16).  This is the
+# reference's SpGEMM-precompute strategy (include/spgemm/spgemm.cuh)
+# made dense-MXU: when Wdiag is frozen (the default — it is a ones
+# buffer in the reference), a whole HGNN aggregation is ONE matmul with
+# an HBM floor of reading A once.  Capped so A stays well under the
+# remote-compile constant limit.
+PRECOMP_MAX_ENTRIES = 80_000_000
+
+
+@dataclasses.dataclass
+class DensePrecomp:
+    """Precomputed A = diag(degV)·H·diag(degE)·Hᵀ in bf16 (sum aggr)."""
+
+    a: "object"  # jnp [N, N] bf16
+    num_nodes: int
+
+    @classmethod
+    def from_hypergraph(cls, hg):
+        import jax.numpy as jnp
+
+        h = jnp.asarray(hg.to_scipy().toarray(), dtype=jnp.float32)
+        left = jnp.asarray(hg.degV) * h  # [N, E]
+        right = (jnp.asarray(hg.degE) * h.T)  # [E, N]
+        a = (left @ right).astype(jnp.bfloat16)
+        return cls(a=a, num_nodes=hg.num_nodes)
+
 
 def plan_aggregation(
     hg,
     dense_threshold: int = DENSE_AUTO_THRESHOLD,
     with_tile: bool = False,
     with_bsr: Optional[bool] = None,
+    with_precomp: bool = True,
     bsr_fill_threshold: float = 0.02,
     ngs: Optional[int] = None,
     fan: int = 8,
@@ -350,7 +379,10 @@ def plan_aggregation(
     tree = plan_tree(hg, ngs=ngs, fan=fan)
     dense = None
     bsr = None
+    precomp = None
     preferred = "tree"
+    if with_precomp and hg.num_nodes * hg.num_nodes <= PRECOMP_MAX_ENTRIES:
+        precomp = DensePrecomp.from_hypergraph(hg)
     if hg.num_nodes * hg.num_edges <= dense_threshold:
         dense = DenseIncidence.from_hypergraph(hg)
         # fused Pallas two-stage kernel when on TPU and Xe (E×F, F≤128
@@ -364,6 +396,10 @@ def plan_aggregation(
             and hg.num_edges * 128 * 4 <= 4 * 1024 * 1024
         )
         preferred = "pallas" if pallas_ok else "dense"
+    if precomp is not None:
+        # one matmul beats everything when applicable (sum aggr, frozen
+        # Wdiag — the dispatcher falls through otherwise)
+        preferred = "precomp"
     elif with_bsr or with_bsr is None:
         try:
             from hypergef_tpu.sparse.bsr import plan_bsr
@@ -376,7 +412,8 @@ def plan_aggregation(
             pass
     tile = plan_tiles(hg) if with_tile else None
     return AggregationPlan(
-        tree=tree, dense=dense, tile=tile, bsr=bsr, preferred_backend=preferred
+        tree=tree, dense=dense, tile=tile, bsr=bsr, precomp=precomp,
+        preferred_backend=preferred,
     )
 
 

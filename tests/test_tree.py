@@ -7,6 +7,7 @@ import pytest
 
 from hypergef_tpu.ops import fused
 from hypergef_tpu.sparse.planner import build_tree, plan_aggregation, plan_tree
+from conftest import dense_unignn_oracle
 
 from conftest import dense_hgnn_oracle, dense_unignn_oracle
 
@@ -102,7 +103,7 @@ def test_dense_backend_matches_oracle(small_hg, aggr):
     hg = small_hg
     hgd = hg.device_data()
     plan = plan_aggregation(hg)
-    assert plan.preferred_backend in ("dense", "pallas")  # small graph
+    assert plan.preferred_backend in ("dense", "pallas", "precomp")  # small graph
     x = rand_x(hg, f=8, seed=5)
     got = fused.hgnn_aggregate(hgd, x, None, aggr, plan=plan, backend="dense")
     want = dense_hgnn_oracle(hg, x, None, aggr)
@@ -113,7 +114,8 @@ def test_dense_backend_matches_oracle(small_hg, aggr):
 def test_auto_backend_routes(small_hg):
     hg = small_hg
     hgd = hg.device_data()
-    plan = plan_aggregation(hg, dense_threshold=0, with_bsr=False)  # force tree
+    plan = plan_aggregation(hg, dense_threshold=0, with_bsr=False,
+                            with_precomp=False)  # force tree
     assert plan.preferred_backend == "tree"
     x = rand_x(hg, f=4, seed=6)
     got = fused.hgnn_aggregate(hgd, x, None, "sum", plan=plan, backend="auto")
@@ -136,3 +138,46 @@ def test_empty_segments_and_isolated(tiny_hg):
     )
     want = dense_hgnn_oracle(hg, x, None, "sum")
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("aggr", ["sum"])
+def test_precomp_backend_matches_oracle(small_hg, aggr):
+    hg = small_hg
+    hgd = hg.device_data()
+    plan = plan_aggregation(hg)
+    assert plan.precomp is not None
+    x = rand_x(hg, f=8, seed=7)
+    got = fused.hgnn_aggregate(hgd, x, None, aggr, plan=plan, backend="precomp")
+    want = dense_hgnn_oracle(hg, x, None, aggr)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+    # grads: A is linear — autodiff exact
+    g = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, aggr, plan=plan, backend="precomp") ** 2
+        )
+    )(jnp.asarray(x))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_precomp_falls_back_with_wdiag_or_mean(small_hg):
+    hg = small_hg
+    hgd = hg.device_data()
+    plan = plan_aggregation(hg)
+    x = rand_x(hg, f=4, seed=8)
+    w = np.random.default_rng(9).uniform(0.5, 1.5, (hg.num_edges, 1)).astype(np.float32)
+    got = fused.hgnn_aggregate(hgd, x, jnp.asarray(w), "sum", plan=plan, backend="precomp")
+    want = dense_hgnn_oracle(hg, x, w, "sum")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+    got_m = fused.hgnn_aggregate(hgd, x, None, "mean", plan=plan, backend="precomp")
+    want_m = dense_hgnn_oracle(hg, x, None, "mean")
+    np.testing.assert_allclose(np.asarray(got_m), want_m, rtol=2e-2, atol=2e-2)
+
+
+def test_precomp_unignn_deg(small_hg):
+    hg = small_hg
+    hgd = hg.device_data()
+    plan = plan_aggregation(hg)
+    x = rand_x(hg, f=4, seed=10)
+    got = fused.unignn_aggregate(hgd, x, use_deg=True, plan=plan, backend="precomp")
+    want = dense_unignn_oracle(hg, x, use_deg=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)

@@ -27,14 +27,25 @@ Design stance (vs the CUDA reference):
 __version__ = "0.1.0"
 
 from hypergef_tpu.sparse.hypergraph import Hypergraph
-from hypergef_tpu.sparse.planner import TilePlan, plan_tiles
+from hypergef_tpu.sparse.planner import (
+    AggregationPlan,
+    TilePlan,
+    TreePlan,
+    plan_aggregation,
+    plan_tiles,
+    plan_tree,
+)
 from hypergef_tpu import ops
 from hypergef_tpu import models
 
 __all__ = [
     "Hypergraph",
     "TilePlan",
+    "TreePlan",
+    "AggregationPlan",
     "plan_tiles",
+    "plan_tree",
+    "plan_aggregation",
     "ops",
     "models",
 ]

@@ -50,6 +50,10 @@ def parse(argv=None):
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--minibatch-edges", type=int, default=0,
                    help=">0: train with hyperedge-sampled minibatches")
+    p.add_argument("--shards", type=int, default=0,
+                   help=">0: edge-partitioned distributed training over a mesh")
+    p.add_argument("--feature-shards", type=int, default=1,
+                   help="feature (tensor-parallel) mesh axis size")
     p.add_argument("--synthetic", type=str, default=None,
                    choices=[None, "random", "powerlaw", "homophilic"],
                    help="use a synthetic graph instead of --dname")
@@ -135,6 +139,22 @@ def main(argv=None):
         t0 = time.perf_counter()
         res = tr.fit(split["train"], epochs=args.epochs, warmup=0)
         print(f"epoch time: {time.perf_counter() - t0:.4f}")
+        return res
+    if args.shards > 0:
+        from hypergef_tpu.parallel.trainer import DistTrainer
+
+        tr = DistTrainer(
+            hg, x, y, nhid=args.nhid, n_shards=args.shards,
+            n_feature=args.feature_shards, lr=args.lr, wd=args.wd,
+            seed=args.seed,
+        )
+        res = tr.fit(split["train"], epochs=args.epochs)
+        res.update(tr.evaluate(split))
+        print(f"distributed ({res['n_shards']} shards): "
+              f"avg epoch time {res['train_epoch_time_s']:.6f}")
+        for k in ("train_acc", "valid_acc", "test_acc", "final_loss"):
+            if k in res:
+                print(f"{k}: {res[k]:.4f}")
         return res
     if args.minibatch_edges > 0:
         from hypergef_tpu.train.minibatch import MinibatchTrainer

@@ -1,0 +1,64 @@
+"""Smoke tests for the experiment harness scripts (tiny settings, CPU)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    PYTHONPATH=ROOT,
+)
+
+
+def run(script, *args, timeout=360):
+    # each script re-asserts cpu via jax.config when JAX_PLATFORMS is set
+    cmd = [sys.executable, os.path.join(ROOT, "experiments", script), *args]
+    return subprocess.run(cmd, env=ENV, capture_output=True, text=True,
+                          timeout=timeout, cwd=ROOT)
+
+
+@pytest.fixture(autouse=True)
+def _force_cpu_in_scripts(monkeypatch):
+    yield
+
+
+def test_fig7_9_smoke(tmp_path):
+    r = run("fig7_9.py", "--configs", "cora", "--backends", "cumsum,tree",
+            "--iters", "3", "--out", str(tmp_path / "f.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    body = open(tmp_path / "f.csv").read()
+    assert "cumsum" in body and "tree" in body
+
+
+def test_fig10_smoke(tmp_path):
+    r = run("fig10.py", "--config", "cora", "--ngs", "8,16", "--iters", "3",
+            "--out", str(tmp_path / "f.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ngs=8" in open(tmp_path / "f.csv").read()
+
+
+def test_fig8_smoke(tmp_path):
+    r = run("fig8.py", "--configs", "cora", "--out", str(tmp_path / "f.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bytes=" in open(tmp_path / "f.csv").read()
+
+
+def test_weak_scaling_smoke(tmp_path):
+    r = run("weak_scaling.py", "--shards", "1,2", "--nnz-per-shard", "5000",
+            "--iters", "2", "--out", str(tmp_path / "ws.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "weak_eff" in open(tmp_path / "ws.csv").read()
+
+
+def test_bench_kernel_smoke(tmp_path):
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--mode", "kernel",
+           "--config", "cora", "--backend", "tree", "--iters", "3"]
+    r = subprocess.run(cmd, env=ENV, capture_output=True, text=True,
+                       timeout=360, cwd=ROOT)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"vs_baseline"' in r.stdout

@@ -396,14 +396,8 @@ def plan_aggregation(
             and hg.num_edges * 128 * 4 <= 4 * 1024 * 1024
         )
         preferred = "pallas" if pallas_ok else "dense"
-    if precomp is not None and hg.num_nodes <= 2 * hg.num_edges:
-        # one matmul beats everything when applicable (sum aggr, frozen
-        # Wdiag — the dispatcher falls through otherwise) AND reading A
-        # (N² bf16) costs less than the dense path's two H reads
-        # (2·N·E): i.e. N ≲ 2E.  Graphs with few giant hyperedges
-        # (20news-like, N ≫ E) stay on the dense two-stage path.
-        preferred = "precomp"
     elif with_bsr or with_bsr is None:
+        # too big for dense: consider MXU block-sparse before the tree
         try:
             from hypergef_tpu.sparse.bsr import plan_bsr
 
@@ -413,6 +407,13 @@ def plan_aggregation(
                 preferred = "bsr"
         except MemoryError:
             pass
+    if precomp is not None and hg.num_nodes <= 2 * hg.num_edges:
+        # one matmul beats everything when applicable (sum aggr, frozen
+        # Wdiag — the dispatcher falls through otherwise) AND reading A
+        # (N² bf16) costs less than the dense path's two H reads
+        # (2·N·E): i.e. N ≲ 2E.  Graphs with few giant hyperedges
+        # (20news-like, N ≫ E) stay on the dense two-stage path.
+        preferred = "precomp"
     tile = plan_tiles(hg) if with_tile else None
     return AggregationPlan(
         tree=tree, dense=dense, tile=tile, bsr=bsr, precomp=precomp,

@@ -68,8 +68,13 @@ class BsrStage:
         return self.blocks.shape[0] * BLOCK * BLOCK * 2
 
 
-def build_bsr_stage(indptr, indices, num_rows, num_cols) -> BsrStage:
-    """Build the BSR form of the CSR matrix M (rows × cols, 0/1)."""
+def build_bsr_stage(indptr, indices, num_rows, num_cols,
+                    max_bytes: Optional[int] = None) -> BsrStage:
+    """Build the BSR form of the CSR matrix M (rows × cols, 0/1).
+
+    ``max_bytes``: raise MemoryError *before* materializing blocks when
+    the bf16 block storage would exceed it.
+    """
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     nrb = -(-num_rows // BLOCK)
@@ -80,6 +85,13 @@ def build_bsr_stage(indptr, indices, num_rows, num_cols) -> BsrStage:
     key = brow * ncb + bcol_all
     uniq, inv = np.unique(key, return_inverse=True)
     nb = len(uniq)
+    if max_bytes is not None and nb * BLOCK * BLOCK * 2 > max_bytes:
+        nnz = len(indices)
+        raise MemoryError(
+            f"BSR blocks need {nb * BLOCK * BLOCK * 2 / 1e9:.2f} GB > budget "
+            f"{max_bytes / 1e9:.2f} GB (fill {nnz / (nb * BLOCK * BLOCK):.4f}); "
+            "use the tree backend for this graph"
+        )
     blocks = np.zeros((max(nb, 1), BLOCK, BLOCK), dtype=np.float32)
     r_in = (row_of % BLOCK).astype(np.int64)
     c_in = (indices % BLOCK).astype(np.int64)
@@ -186,10 +198,12 @@ def plan_bsr(
     else:
         hg_p = hg
     e_stage = build_bsr_stage(
-        hg_p.ht_indptr, hg_p.ht_indices, hg_p.num_edges, hg_p.num_nodes
+        hg_p.ht_indptr, hg_p.ht_indices, hg_p.num_edges, hg_p.num_nodes,
+        max_bytes=max_bytes // 2,
     )
     v_stage = build_bsr_stage(
-        hg_p.h_indptr, hg_p.h_indices, hg_p.num_nodes, hg_p.num_edges
+        hg_p.h_indptr, hg_p.h_indices, hg_p.num_nodes, hg_p.num_edges,
+        max_bytes=max_bytes // 2,
     )
     plan = BsrPlan(
         edge_stage=e_stage, vertex_stage=v_stage, vperm=vperm, eperm=eperm

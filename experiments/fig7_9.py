@@ -71,11 +71,12 @@ def main():
                     print(f"{cname}/{backend}: FAILED {ex}")
                     continue
                 t = r["per_iter_s"]
-                if base_t is None:
+                if base_t is None and t > 0:
                     base_t = t
+                speedup = base_t / t if (base_t and t > 0) else float("nan")
                 row = (
                     f"{cname},{backend},f={args.feat},nnz={hg.nnz},"
-                    f"{t*1e6:.2f}us,speedup_vs_first={base_t/t:.2f}"
+                    f"{t*1e6:.2f}us,speedup_vs_first={speedup:.2f}"
                 )
                 print(row)
                 print(row, file=f, flush=True)

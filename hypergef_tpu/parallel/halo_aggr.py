@@ -32,8 +32,12 @@ def _apply_levels(x, levels, final_idx, final_mask):
     p = x
     for g, m in levels:
         c, fan = g.shape
-        gathered = jnp.take(p, g.reshape(-1), axis=0).reshape(c, fan, -1)
-        p = jnp.sum(gathered * m[:, :, None], axis=1)
+        # per-slot 2-D gathers (see ops/tree.py: avoids the padded 3-D
+        # intermediate that OOMs at large nnz with narrow F)
+        acc = jnp.take(p, g[:, 0], axis=0) * m[:, 0][:, None]
+        for k in range(1, fan):
+            acc = acc + jnp.take(p, g[:, k], axis=0) * m[:, k][:, None]
+        p = acc
     return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
 
 

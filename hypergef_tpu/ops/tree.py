@@ -21,8 +21,36 @@ the backward — no scatter in any derivative order (same trick as
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TiledStageDev:
+    """Device bundle for a cache-blocked (tiled level-0) stage.
+
+    ``tile_rows`` is static pytree metadata so padding/slicing shapes
+    stay concrete under jit.
+    """
+
+    gidx: "object"  # [n_tiles, c_max, ngs] int32, tile-local rows
+    mask: "object"  # [n_tiles, c_max, ngs] f32
+    combine: "object"  # tree-stage 4-tuple over flat partials
+    counts: "object" = None  # [num_segments] f32 (mean denominators)
+    tile_rows: int = 0
+
+
+jax.tree_util.register_dataclass(
+    TiledStageDev,
+    data_fields=["gidx", "mask", "combine", "counts"],
+    meta_fields=["tile_rows"],
+)
+
+
+def stage_counts(stage):
+    return stage.counts if isinstance(stage, TiledStageDev) else stage[3]
 
 
 def _apply_stage(x, stage):
@@ -49,15 +77,46 @@ def _apply_stage(x, stage):
     return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
 
 
+def _apply_tiled(x, stage: TiledStageDev):
+    """Cache-blocked level 0: scan over source tiles, gathering from a
+    dynamically-sliced (VMEM-sized) tile, then tree-combine partials."""
+    gidx, mask = stage.gidx, stage.mask
+    n_tiles, c_max, ngs = gidx.shape
+    t_rows = stage.tile_rows
+    pad = n_tiles * t_rows - x.shape[0]
+    xp = jnp.pad(x, ((0, max(pad, 0)), (0, 0)))
+
+    def body(_, inp):
+        t_gidx, t_mask, t = inp
+        xt = jax.lax.dynamic_slice_in_dim(xp, t * t_rows, t_rows, axis=0)
+        acc = jnp.take(xt, t_gidx[:, 0], axis=0) * t_mask[:, 0][:, None]
+        for k in range(1, ngs):
+            acc = acc + jnp.take(xt, t_gidx[:, k], axis=0) * t_mask[:, k][:, None]
+        return None, acc
+
+    _, partial = jax.lax.scan(
+        body, None, (gidx, mask, jnp.arange(n_tiles, dtype=jnp.int32))
+    )  # [n_tiles, c_max, F]
+    flat = partial.reshape(n_tiles * c_max, -1)
+    return _apply_stage(flat, stage.combine)
+
+
+def _apply_any(x, stage):
+    if isinstance(stage, TiledStageDev):
+        return _apply_tiled(x, stage)
+    return _apply_stage(x, stage)
+
+
 @jax.custom_vjp
 def tree_matvec(x, fwd_stage, bwd_stage):
-    """y = M x where M is the 0/1 incidence map encoded by ``fwd_stage``;
-    ``bwd_stage`` encodes Mᵀ and is used (swapped) in the VJP."""
-    return _apply_stage(x, fwd_stage)
+    """y = M x where M is the 0/1 incidence map encoded by ``fwd_stage``
+    (plain tree or cache-blocked tiled stage); ``bwd_stage`` encodes Mᵀ
+    and is used (swapped) in the VJP."""
+    return _apply_any(x, fwd_stage)
 
 
 def _tm_fwd(x, fwd_stage, bwd_stage):
-    return _apply_stage(x, fwd_stage), (fwd_stage, bwd_stage)
+    return _apply_any(x, fwd_stage), (fwd_stage, bwd_stage)
 
 
 def _tm_bwd(res, g):
@@ -75,7 +134,7 @@ def hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, plan):
     e_stage, v_stage = plan.device()
     xe = tree_matvec(x, e_stage, v_stage)
     if first_aggr == "mean":
-        counts = e_stage[3]
+        counts = stage_counts(e_stage)
         xe = xe / jnp.maximum(counts, 1.0)[:, None]
     xe = xe * hgd.degE
     if wdiag is not None:

@@ -248,9 +248,19 @@ class TreePlan:
     _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     @staticmethod
-    def _stage_device(st: TreeStage):
+    def _stage_device(st):
         import jax.numpy as jnp
 
+        if isinstance(st, TiledStage):
+            from hypergef_tpu.ops.tree import TiledStageDev
+
+            return TiledStageDev(
+                gidx=jnp.asarray(st.gidx),
+                mask=jnp.asarray(st.mask),
+                combine=TreePlan._stage_device(st.combine),
+                counts=jnp.asarray(st.counts),
+                tile_rows=st.tile_rows,
+            )
         return (
             tuple((jnp.asarray(l.gather_idx), jnp.asarray(l.mask)) for l in st.levels),
             jnp.asarray(st.final_idx),
@@ -271,16 +281,40 @@ class TreePlan:
         return (len(self.edge_stage.levels), len(self.vertex_stage.levels))
 
 
+# source-row count above which level-0 gathers are cache-blocked over
+# source tiles (X larger than ~VMEM → HBM-latency gathers; measured
+# 202 ns/row vs 4 ns, docs/KERNEL_NOTES.md)
+TILED_SOURCE_THRESHOLD = 131_072
+TILE_ROWS = 16_384
+
+
 def plan_tree(hg, ngs: Optional[int] = None, ngs_vertex: Optional[int] = None,
-              fan: int = 8) -> TreePlan:
-    """Build the two-direction reduction-tree plan for a hypergraph."""
+              fan: int = 8, tiled_threshold: int = TILED_SOURCE_THRESHOLD,
+              tile_rows: int = TILE_ROWS) -> TreePlan:
+    """Build the two-direction reduction-tree plan for a hypergraph.
+
+    Directions whose *source* row count exceeds ``tiled_threshold`` get
+    a cache-blocked (tiled) level 0.
+    """
     if ngs is None:
         ngs = choose_ngs(hg.edge_sizes(), min_ngs=4, max_ngs=64, step=4)
     if ngs_vertex is None:
         ngs_vertex = choose_ngs(hg.vertex_degrees(), min_ngs=4, max_ngs=64, step=4)
+    if hg.num_nodes > tiled_threshold:
+        e_stage = build_tiled_tree(
+            hg.ht_indptr, hg.ht_indices, hg.num_nodes, ngs, fan, tile_rows
+        )
+    else:
+        e_stage = build_tree(hg.ht_indptr, hg.ht_indices, hg.num_nodes, ngs, fan)
+    if hg.num_edges > tiled_threshold:
+        v_stage = build_tiled_tree(
+            hg.h_indptr, hg.h_indices, hg.num_edges, ngs_vertex, fan, tile_rows
+        )
+    else:
+        v_stage = build_tree(hg.h_indptr, hg.h_indices, hg.num_edges, ngs_vertex, fan)
     plan = TreePlan(
-        edge_stage=build_tree(hg.ht_indptr, hg.ht_indices, hg.num_nodes, ngs, fan),
-        vertex_stage=build_tree(hg.h_indptr, hg.h_indices, hg.num_edges, ngs_vertex, fan),
+        edge_stage=e_stage,
+        vertex_stage=v_stage,
         num_nodes=hg.num_nodes,
         num_edges=hg.num_edges,
     )
@@ -418,6 +452,107 @@ def plan_aggregation(
     return AggregationPlan(
         tree=tree, dense=dense, tile=tile, bsr=bsr, precomp=precomp,
         preferred_backend=preferred,
+    )
+
+
+class TiledStage(NamedTuple):
+    """Tree stage whose level 0 is cache-blocked over the source rows.
+
+    Level-0 gathers are the only *random* gathers in a reduction tree
+    (deeper levels read near-consecutive runs); for source arrays larger
+    than VMEM each random row gather costs HBM latency (~200 ns vs ~4 ns
+    VMEM — measured, docs/KERNEL_NOTES.md).  Cutting level-0 chunks at
+    source-tile boundaries (CSR rows are column-sorted, so each chunk's
+    sources are contiguous in tile space) lets the op gather from one
+    dynamically-sliced, VMEM-sized tile at a time.
+    """
+
+    gidx: np.ndarray  # [n_tiles, c_max, ngs] int32 — tile-LOCAL source rows
+    mask: np.ndarray  # [n_tiles, c_max, ngs] f32
+    combine: "TreeStage"  # over the flat [n_tiles*c_max] partials
+    counts: np.ndarray  # [num_segments] f32 — members per segment (mean)
+    tile_rows: int
+    num_inputs: int
+    num_segments: int
+
+
+def build_tiled_tree(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_inputs: int,
+    ngs: int = 8,
+    fan: int = 8,
+    tile_rows: int = 16384,
+) -> TiledStage:
+    """Build a stage whose level-0 chunks are cut at source-tile
+    boundaries and grouped per tile."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    num_rows = indptr.shape[0] - 1
+    nnz = indices.shape[0]
+    n_tiles = max(-(-num_inputs // tile_rows), 1)
+    row_of = np.repeat(np.arange(num_rows, dtype=np.int64), np.diff(indptr))
+    tile_of = indices // tile_rows
+
+    if nnz:
+        # CSR columns are sorted within each row → (row, tile) runs are
+        # contiguous in nnz order.  A new chunk starts at each run start
+        # and every ngs entries within a run.
+        new_run = np.ones(nnz, dtype=bool)
+        new_run[1:] = (row_of[1:] != row_of[:-1]) | (tile_of[1:] != tile_of[:-1])
+        run_starts = np.nonzero(new_run)[0]
+        run_id = np.cumsum(new_run) - 1
+        pos_in_run = np.arange(nnz, dtype=np.int64) - run_starts[run_id]
+        slot = pos_in_run % ngs
+        chunk_first = slot == 0
+        chunk_id = np.cumsum(chunk_first) - 1  # [nnz]
+        n_chunks = int(chunk_id[-1]) + 1
+        first_idx = np.nonzero(chunk_first)[0]
+        chunk_tile = tile_of[first_idx]
+        chunk_row = row_of[first_idx]
+        per_tile = np.bincount(chunk_tile, minlength=n_tiles)
+        c_max = max(int(per_tile.max(initial=0)), 1)
+        # compact rank of each chunk within its tile (chunk order is
+        # row-major; stable sort by tile preserves row order per tile)
+        order = np.argsort(chunk_tile, kind="stable")
+        rank_in_tile = np.zeros(n_chunks, dtype=np.int64)
+        prev_count = np.zeros(n_tiles + 1, dtype=np.int64)
+        np.cumsum(per_tile, out=prev_count[1:])
+        rank_in_tile[order] = np.arange(n_chunks, dtype=np.int64) - prev_count[
+            chunk_tile[order]
+        ]
+        flat_pos = chunk_tile * c_max + rank_in_tile
+        gidx = np.zeros((n_tiles, c_max, ngs), dtype=np.int32)
+        mask = np.zeros((n_tiles, c_max, ngs), dtype=np.float32)
+        t_of_entry = chunk_tile[chunk_id]
+        r_of_entry = rank_in_tile[chunk_id]
+        gidx[t_of_entry, r_of_entry, slot] = (
+            indices - tile_of * tile_rows
+        ).astype(np.int32)
+        mask[t_of_entry, r_of_entry, slot] = 1.0
+        # combine CSR: for each segment (row), its chunks' flat positions
+        seg_order = np.lexsort((flat_pos, chunk_row))
+        comb_indices = flat_pos[seg_order].astype(np.int32)
+        comb_indptr = np.zeros(num_rows + 1, dtype=np.int64)
+        np.add.at(comb_indptr, chunk_row + 1, 1)
+        np.cumsum(comb_indptr, out=comb_indptr)
+    else:
+        c_max = 1
+        gidx = np.zeros((n_tiles, 1, ngs), dtype=np.int32)
+        mask = np.zeros((n_tiles, 1, ngs), dtype=np.float32)
+        comb_indices = np.zeros(0, dtype=np.int32)
+        comb_indptr = np.zeros(num_rows + 1, dtype=np.int64)
+    combine = build_tree(
+        comb_indptr, comb_indices, n_tiles * c_max, ngs=4, fan=fan
+    )
+    return TiledStage(
+        gidx=gidx,
+        mask=mask,
+        combine=combine,
+        counts=np.diff(indptr).astype(np.float32),
+        tile_rows=tile_rows,
+        num_inputs=num_inputs,
+        num_segments=num_rows,
     )
 
 

@@ -181,3 +181,50 @@ def test_precomp_unignn_deg(small_hg):
     got = fused.unignn_aggregate(hgd, x, use_deg=True, plan=plan, backend="precomp")
     want = dense_unignn_oracle(hg, x, use_deg=True)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+
+
+def test_tiled_tree_matches_plain(skewed_hg):
+    """Cache-blocked level-0 (forced small tiles) == plain tree == oracle."""
+    hg = skewed_hg
+    hgd = hg.device_data()
+    plain = plan_tree(hg, tiled_threshold=10**9)
+    tiled = plan_tree(hg, tiled_threshold=64, tile_rows=64)
+    from hypergef_tpu.ops.tree import TiledStageDev
+
+    assert isinstance(tiled.device()[0], TiledStageDev)
+    x = rand_x(hg, f=5, seed=11)
+    for aggr in ("sum", "mean"):
+        want = np.asarray(
+            fused.hgnn_aggregate(hgd, x, None, aggr, plan=plain, backend="tree")
+        )
+        got = np.asarray(
+            fused.hgnn_aggregate(hgd, x, None, aggr, plan=tiled, backend="tree")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # gradient parity through the tiled adjoint
+    g_plain = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=plain, backend="tree") ** 2
+        )
+    )(jnp.asarray(x))
+    g_tiled = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=tiled, backend="tree") ** 2
+        )
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(g_tiled), np.asarray(g_plain), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_tiled_tree_under_jit(skewed_hg):
+    hg = skewed_hg
+    hgd = hg.device_data()
+    tiled = plan_tree(hg, tiled_threshold=64, tile_rows=64)
+    x = jnp.asarray(rand_x(hg, f=4, seed=12))
+    f = jax.jit(
+        lambda xv: fused.hgnn_aggregate(hgd, xv, None, "sum", plan=tiled, backend="tree")
+    )
+    out = f(x)
+    want = dense_hgnn_oracle(hg, np.asarray(x), None, "sum")
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)

@@ -53,28 +53,44 @@ def stage_counts(stage):
     return stage.counts if isinstance(stage, TiledStageDev) else stage[3]
 
 
-def _apply_stage(x, stage):
-    """stage = (levels, final_idx, final_mask, counts) of jnp arrays.
+# elements above which a level's [C, fan, F] gathered intermediate would
+# be memory-hostile (narrow-F lane padding gives 4-5x blowup; observed
+# 16 GB HBM OOM at 10M nnz) → switch to per-slot 2-D gathers there.
+_LEVEL_3D_MAX_ELEMS = 1 << 22
 
-    Gathers use flat 1-D row-index form (``take(p, g.reshape(-1))``) —
-    the canonical gather XLA:TPU lowers natively; 2-D index tables can
-    trip the scalarizing gather expander (minutes-long compiles,
-    serialized runtime).  The fan-in combine is a reshape + masked sum,
-    not a 3-D einsum, for the same reason.
+
+def apply_level(p, g, m):
+    """One fan-in combine level: y[c] = Σ_k p[g[c,k]] · m[c,k]."""
+    c, fan = g.shape
+    f = p.shape[1]
+    if c * fan * f <= _LEVEL_3D_MAX_ELEMS:
+        # compact 3-D form: one gather, small program (fast compiles)
+        gathered = jnp.take(p, g.reshape(-1), axis=0).reshape(c, fan, f)
+        return jnp.sum(gathered * m[:, :, None], axis=1)
+    # per-slot 2-D gathers: no padded 3-D intermediate
+    acc = jnp.take(p, g[:, 0], axis=0) * m[:, 0][:, None]
+    for k in range(1, fan):
+        acc = acc + jnp.take(p, g[:, k], axis=0) * m[:, k][:, None]
+    return acc
+
+
+def apply_levels(x, levels, final_idx, final_mask):
+    """Apply a sequence of combine levels + the final per-segment map.
+
+    Gathers use flat 1-D row-index form — the canonical gather XLA:TPU
+    lowers natively; 2-D index tables can trip the scalarizing gather
+    expander (minutes-long compiles, serialized runtime).
     """
-    levels, final_idx, final_mask, _ = stage
     p = x
     for g, m in levels:
-        c, fan = g.shape
-        # per-slot 2-D gathers, accumulated: no [C, fan, F] intermediate —
-        # with narrow F the 3-D form suffers a 4–5× lane/sublane padding
-        # blowup (observed: 16 GB HBM OOM at 10M nnz where the unpadded
-        # data is 3.5 GB)
-        acc = jnp.take(p, g[:, 0], axis=0) * m[:, 0][:, None]
-        for k in range(1, fan):
-            acc = acc + jnp.take(p, g[:, k], axis=0) * m[:, k][:, None]
-        p = acc
+        p = apply_level(p, g, m)
     return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
+
+
+def _apply_stage(x, stage):
+    """stage = (levels, final_idx, final_mask, counts) of jnp arrays."""
+    levels, final_idx, final_mask, _ = stage
+    return apply_levels(x, levels, final_idx, final_mask)
 
 
 def _apply_tiled(x, stage: TiledStageDev):

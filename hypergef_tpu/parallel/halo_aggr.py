@@ -28,17 +28,7 @@ def _sq(tree):
     return jax.tree_util.tree_map(lambda a: a[0], tree)
 
 
-def _apply_levels(x, levels, final_idx, final_mask):
-    p = x
-    for g, m in levels:
-        c, fan = g.shape
-        # per-slot 2-D gathers (see ops/tree.py: avoids the padded 3-D
-        # intermediate that OOMs at large nnz with narrow F)
-        acc = jnp.take(p, g[:, 0], axis=0) * m[:, 0][:, None]
-        for k in range(1, fan):
-            acc = acc + jnp.take(p, g[:, k], axis=0) * m[:, k][:, None]
-        p = acc
-    return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
+from hypergef_tpu.ops.tree import apply_levels as _apply_levels  # noqa: E402
 
 
 def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,

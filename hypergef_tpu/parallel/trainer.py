@@ -61,22 +61,30 @@ class DistTrainer:
         )
         self.opt_state = self.tx.init(self.params)
 
-    def fit(self, train_idx, epochs: int = 100, warmup: int = 10) -> Dict[str, float]:
+    def fit(self, train_idx, epochs: int = 100, warmup: int = 10,
+            fence_every: int = 0) -> Dict[str, float]:
+        """``fence_every > 0`` synchronizes every N steps — needed on the
+        simulated CPU mesh, whose async dispatch queue intermittently
+        aborts with many in-flight multi-device programs."""
         mask = np.zeros(self.x.shape[0], dtype=np.float32)
         mask[np.asarray(train_idx)] = 1.0
         mask = jnp.asarray(mask)
         params, opt_state = self.params, self.opt_state
         loss = jnp.zeros(())
-        for _ in range(warmup):
+        for i in range(warmup):
             params, opt_state, loss = self.step(
                 params, opt_state, self.x, self.y, mask
             )
+            if fence_every and (i + 1) % fence_every == 0:
+                float(loss)
         float(loss)  # true device fence (see utils/timing.sync)
         t0 = time.perf_counter()
-        for _ in range(epochs):
+        for i in range(epochs):
             params, opt_state, loss = self.step(
                 params, opt_state, self.x, self.y, mask
             )
+            if fence_every and (i + 1) % fence_every == 0:
+                float(loss)
         float(loss)
         dt = time.perf_counter() - t0
         self.params, self.opt_state = params, opt_state

@@ -281,10 +281,12 @@ class TreePlan:
         return (len(self.edge_stage.levels), len(self.vertex_stage.levels))
 
 
-# source-row count above which level-0 gathers are cache-blocked over
-# source tiles (X larger than ~VMEM → HBM-latency gathers; measured
-# 202 ns/row vs 4 ns, docs/KERNEL_NOTES.md)
-TILED_SOURCE_THRESHOLD = 131_072
+# Cache-blocked level 0 is OPT-IN: on-chip measurement showed XLA-level
+# dynamic-slice tiling does NOT change gather cost (2.11 s vs 2.02 s at
+# 10M nnz) — XLA keeps the sliced tile in HBM, so per-row DMAs cost the
+# same. True cache blocking needs kernel-level control (Pallas VMEM tile
+# + in-kernel gather, blocked on Mosaic gather support — ROADMAP).
+TILED_SOURCE_THRESHOLD = 1 << 62
 TILE_ROWS = 16_384
 
 

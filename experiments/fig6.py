@@ -42,7 +42,9 @@ def run_one(name, model, nhid, backend, epochs):
         ds = load_dataset(name)
         hg, x, y = ds.hg, ds.features, ds.labels
         src = "real"
-    except (DatasetNotAvailable, Exception):
+    except (DatasetNotAvailable, FileNotFoundError):
+        # only "data genuinely absent" falls back to synthetic; loader or
+        # trainer bugs must propagate to the per-row FAILED handler
         n, e, avg, nf, nc = SHAPES[name]
         hg = random_hypergraph(n, e, avg_edge_size=avg, seed=0, name=name)
         x, y = random_features(n, nf, nc, seed=1)

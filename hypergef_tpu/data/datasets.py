@@ -195,7 +195,14 @@ def load_dataset(
     with npz caching (the reference caches to ``data.pt``)."""
     if name not in EXISTING_DATASETS:
         raise ValueError(f"unknown dataset {name!r}; known: {EXISTING_DATASETS}")
-    cache_f = os.path.join(root, name, "processed.npz")
+    # cornell datasets synthesize features from feature_noise → the cache
+    # key must include it (the reference encodes it in the dataset dir
+    # name, e.g. walmart-trips-100) or a second call with a different
+    # noise level would silently return stale features.
+    if name in _CORNELL:
+        cache_f = os.path.join(root, name, f"processed_fn{feature_noise:g}.npz")
+    else:
+        cache_f = os.path.join(root, name, "processed.npz")
     if cache and os.path.exists(cache_f):
         z = np.load(cache_f)
         hg = Hypergraph(

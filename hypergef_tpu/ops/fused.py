@@ -132,6 +132,41 @@ def _ell_stage(gather_idx, mask, seg_ids, num_segments, x, aggr="sum"):
 
 
 # ----------------------------------------------------------------------
+# fast max first-aggregation (argmax-carrying tree + exact VJP)
+# ----------------------------------------------------------------------
+def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
+    """Max V→E via the argmax-carrying tree (ops/maxops), then the
+    requested backend's E→V sum stage.  Falls back to the nnz oracle
+    when no (plain) tree plan is available."""
+    from hypergef_tpu.ops import maxops
+    from hypergef_tpu.ops.tree import TiledStageDev
+    from hypergef_tpu.ops import tree as tree_ops
+
+    tree_plan = getattr(plan, "tree", None) or plan
+    dev = getattr(tree_plan, "device", None)
+    if dev is None:
+        return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
+    e_stage, v_stage = tree_plan.device()
+    if isinstance(e_stage, TiledStageDev):
+        return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
+    xe = maxops.v2e_max_tree(
+        x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr
+    )
+    xe = xe * hgd.degE
+    if wdiag is not None:
+        xe = xe * wdiag
+    if b == "dense" and getattr(plan, "dense", None) is not None:
+        xv = _dense_e2v(plan.dense.h, xe)
+    elif b == "cumsum":
+        xv = _cumsum_e2v(hgd, xe)
+    elif isinstance(v_stage, TiledStageDev):
+        xv = _cumsum_e2v(hgd, xe)
+    else:
+        xv = tree_ops.tree_matvec(xe, v_stage, e_stage)
+    return xv * hgd.degV
+
+
+# ----------------------------------------------------------------------
 # public fused ops
 # ----------------------------------------------------------------------
 def hgnn_aggregate(
@@ -147,11 +182,15 @@ def hgnn_aggregate(
     first-stage reduce ∈ {sum, mean, max}.
     """
     b = _resolve(backend, plan)
-    if b == "xla" or (b != "xla" and first_aggr == "max"):
-        # max first-aggr runs on the nnz path in every backend (the
-        # reference likewise routes max to a dedicated slower kernel,
-        # hgnnaggr_cuda.cu:144-208).
+    if b == "xla":
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, first_aggr)
+    if first_aggr == "max":
+        # fast max: argmax-carrying tree V→E (record_table analogue of
+        # hgnnaggr_cuda.cu:144-208) + the backend's E→V sum stage; exact
+        # scatter-free VJP (ops/maxops.py).  Oracle fallback without a plan.
+        if plan is None:
+            return refops.hgnn_aggregate_ref(hgd, x, wdiag, first_aggr)
+        return _hgnn_aggregate_max(hgd, x, wdiag, plan, b)
     if b == "cumsum":
         xe = _cumsum_v2e(hgd, x, first_aggr)
         xe = xe * hgd.degE

@@ -54,10 +54,11 @@ def test_all_backends_agree(case):
                 np.asarray(got), want, rtol=3e-2, atol=3e-2,
                 err_msg=f"case {case} dense aggr {aggr}",
             )
-    # max on the oracle path
+    # max: tree-max V→E + the auto backend's E→V (may be dense bf16 →
+    # same 3e-2 tolerance as the dense sum path above)
     want = dense_hgnn_oracle(hg, x, w, "max")
     got = fused.hgnn_aggregate(hgd, x, jnp.asarray(w), "max", plan=plan, backend="auto")
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)
 
 
 @pytest.mark.parametrize("case", [0, 2, 4])

@@ -32,7 +32,10 @@ from hypergef_tpu.sparse.hypergraph import HypergraphData
 from hypergef_tpu.ops import refops, segments
 
 _DEFAULT_BACKEND = "cumsum"
-_VALID = ("auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "precomp", "pallas")
+_VALID = (
+    "auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "precomp",
+    "pallas", "multihot",
+)
 
 
 def set_default_backend(name: str) -> None:
@@ -50,7 +53,7 @@ def _resolve(backend: Optional[str], plan) -> str:
     b = backend or _DEFAULT_BACKEND
     if b == "auto":
         b = getattr(plan, "preferred_backend", None) or "cumsum"
-    if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp") and plan is None:
+    if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp", "multihot") and plan is None:
         raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
 
@@ -220,6 +223,13 @@ def hgnn_aggregate(
         from hypergef_tpu.ops import tree as tree_ops
 
         return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, _get(plan, "tree"))
+    if b == "multihot":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        mh = getattr(plan, "multihot", None)
+        if mh is None:
+            mh = plan  # raw multihot TreePlan passed directly
+        return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, mh)
     if b == "dense":
         h = _get(plan, "dense").h
         xe = _dense_v2e(h, x, first_aggr, hgd)
@@ -289,6 +299,13 @@ def unignn_aggregate(
         from hypergef_tpu.ops import tree as tree_ops
 
         return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, _get(plan, "tree"))
+    if b == "multihot":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        mh = getattr(plan, "multihot", None)
+        if mh is None:
+            mh = plan
+        return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, mh)
     if b == "dense":
         h = _get(plan, "dense").h
         xe = _dense_v2e(h, x, "sum", hgd)

@@ -32,7 +32,18 @@ class TiledStageDev:
     """Device bundle for a cache-blocked (tiled level-0) stage.
 
     ``tile_rows`` is static pytree metadata so padding/slicing shapes
-    stay concrete under jit.
+    stay concrete under jit.  ``form`` selects the level-0 applier:
+
+    * ``"gather"``   — per-slot row gathers from the sliced tile
+      (round-1 XLA form; measured NO faster than untiled — kept for
+      reference, see planner.TILED_SOURCE_THRESHOLD);
+    * ``"multihot"`` — tile-local multihot bf16 matrix built by
+      iota-compare, partials via ONE MXU matmul per tile (lax.scan) —
+      random row access becomes streaming + MXU work, the TPU answer to
+      the reference's gather-heavy fused kernel for clustered graphs;
+    * ``"multihot_batched"`` — same math as one batched dot_general
+      (materializes the [n_tiles, c_max, tile_rows] multihot in HBM;
+      lets XLA schedule all tiles at once).
     """
 
     gidx: "object"  # [n_tiles, c_max, ngs] int32, tile-local rows
@@ -40,12 +51,13 @@ class TiledStageDev:
     combine: "object"  # tree-stage 4-tuple over flat partials
     counts: "object" = None  # [num_segments] f32 (mean denominators)
     tile_rows: int = 0
+    form: str = "gather"
 
 
 jax.tree_util.register_dataclass(
     TiledStageDev,
     data_fields=["gidx", "mask", "combine", "counts"],
-    meta_fields=["tile_rows"],
+    meta_fields=["tile_rows", "form"],
 )
 
 
@@ -117,8 +129,69 @@ def _apply_tiled(x, stage: TiledStageDev):
     return _apply_stage(flat, stage.combine)
 
 
+def _multihot_tile(t_gidx, t_mask, tile_rows):
+    """Build the [c_max, tile_rows] bf16 multihot matrix of one tile.
+
+    Row c is Σ_k mask[c,k]·onehot(gidx[c,k]) — duplicates accumulate, so
+    the subsequent matmul has exact sum semantics (0/1/2… weights are
+    exact in bf16).  Pure iota-compare VPU work, no gather anywhere.
+    """
+    c_max, ngs = t_gidx.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (c_max, tile_rows), 1)
+    m = jnp.zeros((c_max, tile_rows), jnp.bfloat16)
+    for k in range(ngs):
+        m = m + jnp.where(
+            t_gidx[:, k : k + 1] == iota, t_mask[:, k : k + 1], 0.0
+        ).astype(jnp.bfloat16)
+    return m
+
+
+def _apply_tiled_multihot(x, stage: TiledStageDev):
+    """Level 0 as tile-local multihot MXU matmuls (scan over tiles)."""
+    gidx, mask = stage.gidx, stage.mask
+    n_tiles, c_max, _ = gidx.shape
+    t_rows = stage.tile_rows
+    pad = n_tiles * t_rows - x.shape[0]
+    xp = jnp.pad(x, ((0, max(pad, 0)), (0, 0))).astype(jnp.bfloat16)
+
+    def body(_, inp):
+        t_gidx, t_mask, t = inp
+        xt = jax.lax.dynamic_slice_in_dim(xp, t * t_rows, t_rows, axis=0)
+        m = _multihot_tile(t_gidx, t_mask, t_rows)
+        p = jax.lax.dot_general(
+            m, xt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return None, p
+
+    _, partial = jax.lax.scan(
+        body, None, (gidx, mask, jnp.arange(n_tiles, dtype=jnp.int32))
+    )  # [n_tiles, c_max, F]
+    flat = partial.reshape(n_tiles * c_max, -1)
+    return _apply_stage(flat, stage.combine)
+
+
+def _apply_tiled_multihot_batched(x, stage: TiledStageDev):
+    """Same math as one batched dot_general over all tiles at once."""
+    gidx, mask = stage.gidx, stage.mask
+    n_tiles, c_max, _ = gidx.shape
+    t_rows = stage.tile_rows
+    pad = n_tiles * t_rows - x.shape[0]
+    xp = jnp.pad(x, ((0, max(pad, 0)), (0, 0))).astype(jnp.bfloat16)
+    xt = xp.reshape(n_tiles, t_rows, -1)
+    m = jax.vmap(lambda g, mm: _multihot_tile(g, mm, t_rows))(gidx, mask)
+    partial = jax.lax.dot_general(
+        m, xt, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [n_tiles, c_max, F]
+    flat = partial.reshape(n_tiles * c_max, -1)
+    return _apply_stage(flat, stage.combine)
+
+
 def _apply_any(x, stage):
     if isinstance(stage, TiledStageDev):
+        if stage.form == "multihot":
+            return _apply_tiled_multihot(x, stage)
+        if stage.form == "multihot_batched":
+            return _apply_tiled_multihot_batched(x, stage)
         return _apply_tiled(x, stage)
     return _apply_stage(x, stage)
 

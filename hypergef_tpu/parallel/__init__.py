@@ -8,6 +8,11 @@ from hypergef_tpu.parallel.dist_aggr import (
     sharded_unignn_aggregate,
 )
 from hypergef_tpu.parallel.mesh import make_mesh
+from hypergef_tpu.parallel.multihost import (
+    init_distributed,
+    make_hybrid_mesh,
+    local_shard_info,
+)
 from hypergef_tpu.parallel.halo import HaloPlan, plan_halo
 from hypergef_tpu.parallel.halo_aggr import (
     halo_hgnn_aggregate,
@@ -31,4 +36,7 @@ __all__ = [
     "sharded_hgnn_aggregate",
     "sharded_unignn_aggregate",
     "make_mesh",
+    "init_distributed",
+    "make_hybrid_mesh",
+    "local_shard_info",
 ]

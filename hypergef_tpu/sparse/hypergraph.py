@@ -171,27 +171,44 @@ class Hypergraph:
         edge_index: np.ndarray,
         num_nodes: Optional[int] = None,
         name: str = "unnamed",
+        compact: bool = False,
     ) -> "Hypergraph":
         """Build from a PyG/AllSet-style bipartite ``edge_index`` [2, M].
 
         Row 0 holds vertex ids then (past the split point) hyperedge ids
         offset by ``num_nodes``; the split is the first column whose row-0
         value equals ``num_nodes`` (``hypergraph.py:15-19``).  Only the
-        V→E half is used; hyperedge ids are rebased to start at 0.
+        V→E half is used.
+
+        Hyperedge id-space semantics (fixed from the reference, whose
+        ``hypergraph.py:18`` counts *unique* ids but indexes with *raw*
+        values — silently wrong on non-dense id spaces):
+
+        * ``compact=False`` (default): ids are kept raw after the
+          ``- num_nodes`` rebase, ``num_edges = max_id + 1``; gaps in
+          the id space become empty hyperedges (degree 0, aggregation
+          output 0 — consistent everywhere).
+        * ``compact=True``: unique ids are remapped to a dense
+          ``0..k-1`` range, ``num_edges = k`` (no empty edges).
         """
         edge_index = np.asarray(edge_index, dtype=np.int64)
         if num_nodes is None:
-            # first value of row 0 that appears in row 1's id space:
-            # infer as 1 + max vertex id among entries where row0 < row1 min.
             raise ValueError("num_nodes is required for edge_index input")
         split = np.nonzero(edge_index[0] == num_nodes)[0]
         c_idx = int(split.min()) if split.size else edge_index.shape[1]
         v = edge_index[0, :c_idx]
         e = edge_index[1, :c_idx] - num_nodes
-        num_edges = int(np.unique(e).size)
-        # rebase: the reference counts unique ids (hypergraph.py:18) but then
-        # uses raw values; ids are assumed already dense starting at 0.
-        return cls.from_coo(v, e, num_nodes=num_nodes, num_edges=max(num_edges, int(e.max()) + 1 if e.size else 0), name=name)
+        if e.size and e.min() < 0:
+            raise ValueError(
+                "hyperedge ids below num_nodes in edge_index row 1 — "
+                "row 1 must hold ids offset by num_nodes"
+            )
+        if compact:
+            uniq, e = np.unique(e, return_inverse=True)
+            num_edges = int(uniq.size)
+        else:
+            num_edges = int(e.max()) + 1 if e.size else 0
+        return cls.from_coo(v, e, num_nodes=num_nodes, num_edges=num_edges, name=name)
 
     @classmethod
     def from_scipy(cls, H, name: str = "unnamed") -> "Hypergraph":

@@ -260,6 +260,7 @@ class TreePlan:
                 combine=TreePlan._stage_device(st.combine),
                 counts=jnp.asarray(st.counts),
                 tile_rows=st.tile_rows,
+                form=st.form,
             )
         return (
             tuple((jnp.asarray(l.gather_idx), jnp.asarray(l.mask)) for l in st.levels),
@@ -361,6 +362,7 @@ class AggregationPlan:
     tile: Optional["TilePlan"] = None
     bsr: Optional[object] = None  # BsrPlan (sparse.bsr)
     precomp: Optional[DensePrecomp] = None
+    multihot: Optional["TreePlan"] = None  # multihot-MXU TreePlan
     preferred_backend: str = "tree"
 
 
@@ -402,7 +404,9 @@ def plan_aggregation(
     with_tile: bool = False,
     with_bsr: Optional[bool] = None,
     with_precomp: bool = True,
+    with_multihot: Optional[bool] = None,
     bsr_fill_threshold: float = 0.02,
+    multihot_tile_rows: int = 256,
     ngs: Optional[int] = None,
     fan: int = 8,
 ) -> AggregationPlan:
@@ -450,10 +454,24 @@ def plan_aggregation(
         # (2·N·E): i.e. N ≲ 2E.  Graphs with few giant hyperedges
         # (20news-like, N ≫ E) stay on the dense two-stage path.
         preferred = "precomp"
+    multihot = None
+    if with_multihot or (
+        with_multihot is None and dense is None and preferred == "tree"
+    ):
+        # beyond the dense regime the multihot-MXU form is the candidate
+        # fast sparse path; build it so backend="multihot" (and the
+        # autotuner) can use it.  Cost model vs the gather tree: compare
+        # work ∝ frag·nnz·tile_rows vs ~16 ns/nnz gather latency — on
+        # clustered/reordered graphs (frag→1) multihot wins (measured
+        # 27 ms vs 373 ms at 10M nnz; probe_r2_gather.py).
+        try:
+            multihot = plan_multihot(hg, tile_rows=multihot_tile_rows, fan=fan)
+        except MemoryError:
+            multihot = None  # skewed per-tile chunk counts → padding blowup
     tile = plan_tiles(hg) if with_tile else None
     return AggregationPlan(
         tree=tree, dense=dense, tile=tile, bsr=bsr, precomp=precomp,
-        preferred_backend=preferred,
+        multihot=multihot, preferred_backend=preferred,
     )
 
 
@@ -467,6 +485,10 @@ class TiledStage(NamedTuple):
     source-tile boundaries (CSR rows are column-sorted, so each chunk's
     sources are contiguous in tile space) lets the op gather from one
     dynamically-sliced, VMEM-sized tile at a time.
+
+    ``form``: "gather" (per-slot gathers from the sliced tile) or
+    "multihot"/"multihot_batched" (tile-local multihot bf16 matmul on
+    the MXU — see :func:`hypergef_tpu.ops.tree._apply_tiled_multihot`).
     """
 
     gidx: np.ndarray  # [n_tiles, c_max, ngs] int32 — tile-LOCAL source rows
@@ -476,6 +498,18 @@ class TiledStage(NamedTuple):
     tile_rows: int
     num_inputs: int
     num_segments: int
+    form: str = "gather"
+
+    def fragmentation(self) -> float:
+        """chunks / ideal chunks (1.0 = every chunk full inside one tile;
+        random graphs with degree ≪ tiles approach ngs).  The multihot
+        compare cost scales with this factor — the auto-select signal."""
+        ngs = self.gidx.shape[2]
+        live = float(self.mask.sum())
+        if live == 0:
+            return 1.0
+        chunks = float((self.mask.sum(axis=2) > 0).sum())
+        return chunks / max(live / ngs, 1.0)
 
 
 def build_tiled_tree(
@@ -485,9 +519,15 @@ def build_tiled_tree(
     ngs: int = 8,
     fan: int = 8,
     tile_rows: int = 16384,
+    form: str = "gather",
+    pad_limit: int = 1 << 26,
 ) -> TiledStage:
     """Build a stage whose level-0 chunks are cut at source-tile
-    boundaries and grouped per tile."""
+    boundaries and grouped per tile.
+
+    Raises ``MemoryError`` when the padded [n_tiles, c_max, ngs] table
+    would exceed ``pad_limit`` entries (skewed per-tile chunk counts pad
+    every tile to the hottest one — a power-law hazard)."""
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     num_rows = indptr.shape[0] - 1
@@ -514,6 +554,11 @@ def build_tiled_tree(
         chunk_row = row_of[first_idx]
         per_tile = np.bincount(chunk_tile, minlength=n_tiles)
         c_max = max(int(per_tile.max(initial=0)), 1)
+        if n_tiles * c_max * ngs > pad_limit:
+            raise MemoryError(
+                f"tiled stage padding blowup: {n_tiles} tiles x c_max {c_max} "
+                f"x ngs {ngs} > pad_limit {pad_limit}"
+            )
         # compact rank of each chunk within its tile (chunk order is
         # row-major; stable sort by tile preserves row order per tile)
         order = np.argsort(chunk_tile, kind="stable")
@@ -555,7 +600,42 @@ def build_tiled_tree(
         tile_rows=tile_rows,
         num_inputs=num_inputs,
         num_segments=num_rows,
+        form=form,
     )
+
+
+def plan_multihot(
+    hg,
+    tile_rows: int = 256,
+    ngs: int = 8,
+    fan: int = 8,
+    form: str = "multihot",
+) -> TreePlan:
+    """Multihot-MXU plan: both aggregation directions as tile-bucketed
+    stages whose level 0 is a multihot bf16 matmul per source tile.
+
+    This is the TPU-native replacement for the reference's fused
+    gather/atomics kernel (``hgnnaggr_cuda.cu:14-47``) in the regime the
+    MXU can win: random row access becomes iota-compare (VPU) + one
+    matmul per tile (MXU) + streaming tile reads.  Cost scales with
+    ``fragmentation()`` — near 1.0 on clustered/reordered graphs, up to
+    ``ngs`` on uniform-random ones (measured: pubmed-shape stage 160 µs
+    clustered vs 514 µs random on v5e; see scripts/probe_r2_gather.py).
+    """
+    e_stage = build_tiled_tree(
+        hg.ht_indptr, hg.ht_indices, hg.num_nodes, ngs, fan, tile_rows, form
+    )
+    v_stage = build_tiled_tree(
+        hg.h_indptr, hg.h_indices, hg.num_edges, ngs, fan, tile_rows, form
+    )
+    plan = TreePlan(
+        edge_stage=e_stage,
+        vertex_stage=v_stage,
+        num_nodes=hg.num_nodes,
+        num_edges=hg.num_edges,
+    )
+    plan.device()
+    return plan
 
 
 class TilePlanData(NamedTuple):

@@ -281,6 +281,116 @@ def k7b():
     )(idx, mask, x)
 
 
+
+
+# k8: k7 at larger SMEM block sizes — find the SMEM capacity limit
+def make_k8(t_big, mask_vmem):
+    def fn():
+        idx_b = jnp.asarray(rng.integers(0, N, size=(t_big, NGS)).astype(np.int32))
+        mask_b = jnp.asarray((rng.random((t_big, NGS)) > 0.1).astype(np.float32))
+
+        def kern(i_ref, m_ref, x_ref, o_ref):
+            def body(i, _):
+                if mask_vmem:
+                    m = m_ref[pl.ds(i, 1), :].reshape(NGS, 1)
+                    acc = x_ref[pl.ds(i_ref[i, 0], 1), :] * m[0]
+                    for k in range(1, NGS):
+                        acc = acc + x_ref[pl.ds(i_ref[i, k], 1), :] * m[k]
+                else:
+                    acc = x_ref[pl.ds(i_ref[i, 0], 1), :] * m_ref[i, 0]
+                    for k in range(1, NGS):
+                        acc = acc + x_ref[pl.ds(i_ref[i, k], 1), :] * m_ref[i, k]
+                o_ref[pl.ds(i, 1), :] = acc
+                return 0
+
+            jax.lax.fori_loop(0, t_big, body, 0)
+
+        m_space = pltpu.VMEM if mask_vmem else pltpu.SMEM
+        return pl.pallas_call(
+            kern,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((t_big, NGS), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_big, NGS), lambda i: (i, 0), memory_space=m_space),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((t_big, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_big, F), jnp.float32),
+        )(idx_b, mask_b, x)
+    return fn
+
+
+
+# k9: k7 pattern with grid > 1 (blocked SMEM in_specs + index_map)
+def make_k9(t_blk, n_grid):
+    def fn():
+        t_tot = t_blk * n_grid
+        idx_b = jnp.asarray(rng.integers(0, N, size=(t_tot, NGS)).astype(np.int32))
+        mask_b = jnp.asarray((rng.random((t_tot, NGS)) > 0.1).astype(np.float32))
+
+        def kern(i_ref, m_ref, x_ref, o_ref):
+            def body(i, _):
+                acc = x_ref[pl.ds(i_ref[i, 0], 1), :] * m_ref[i, 0]
+                for k in range(1, NGS):
+                    acc = acc + x_ref[pl.ds(i_ref[i, k], 1), :] * m_ref[i, k]
+                o_ref[pl.ds(i, 1), :] = acc
+                return 0
+
+            jax.lax.fori_loop(0, t_blk, body, 0)
+
+        return pl.pallas_call(
+            kern,
+            grid=(n_grid,),
+            in_specs=[
+                pl.BlockSpec((t_blk, NGS), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_blk, NGS), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((t_blk, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_tot, F), jnp.float32),
+        )(idx_b, mask_b, x)
+    return fn
+
+
+# k10: grid>1 + LARGE full-VMEM x operand (5 MB, pubmed-class)
+def make_k10(n_big):
+    def fn():
+        x_big = jnp.asarray(rng.normal(size=(n_big, 64)).astype(np.float32))
+        t_blk, n_grid = 64, 4
+        t_tot = t_blk * n_grid
+        idx_b = jnp.asarray(rng.integers(0, n_big, size=(t_tot, NGS)).astype(np.int32))
+        mask_b = jnp.asarray((rng.random((t_tot, NGS)) > 0.1).astype(np.float32))
+
+        def kern(i_ref, m_ref, x_ref, o_ref):
+            def body(i, _):
+                acc = x_ref[pl.ds(i_ref[i, 0], 1), :] * m_ref[i, 0]
+                for k in range(1, NGS):
+                    acc = acc + x_ref[pl.ds(i_ref[i, k], 1), :] * m_ref[i, k]
+                o_ref[pl.ds(i, 1), :] = acc
+                return 0
+
+            jax.lax.fori_loop(0, t_blk, body, 0)
+
+        return pl.pallas_call(
+            kern,
+            grid=(n_grid,),
+            in_specs=[
+                pl.BlockSpec((t_blk, NGS), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((t_blk, NGS), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((t_blk, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t_tot, 64), jnp.float32),
+        )(idx_b, mask_b, x_big)
+    return fn
+
+
+K9_CASES = [("k9_g4", make_k9(64, 4)), ("k9_g16_t128", make_k9(128, 16)),
+            ("k10_n19968", make_k10(19968)), ("k10_n8192", make_k10(8192))]
+
+
+K8_CASES = [(f"k8_t{t}_mv{int(mv)}", make_k8(t, mv)) for t in (128, 256, 512) for mv in (False, True)]
+
 if __name__ == "__main__":
     print(f"devices: {jax.devices()}", flush=True)
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
@@ -295,6 +405,8 @@ if __name__ == "__main__":
         ("k6_dma_in_loop", k6),
         ("k7_vmem_serial", k7),
         ("k7b_vmem_concat", k7b),
+        *K8_CASES,
+        *K9_CASES,
     ]:
         if only and name.split("_")[0] not in only and name not in only:
             continue

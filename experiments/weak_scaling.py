@@ -1,10 +1,29 @@
-"""Weak-scaling study: edge-partitioned aggregation, nnz ∝ #shards.
+"""Weak-scaling study of the fully-sharded halo design: plan-derived
+traffic accounting + modeled ICI projection (BASELINE config #5).
 
-BASELINE config #5 harness.  On real multi-chip hardware this measures
-ICI weak-scaling; on the simulated CPU mesh (default here — this
-environment has one physical TPU chip) it validates program structure
-and reports the same efficiency metric:
+Round-1 reported wall-clock weak efficiency from an oversubscribed
+8-virtual-device CPU host — noise (VERDICT.md "weak" #5).  Every number
+here is defensible instead:
 
+* **per-link traffic** comes from the halo plan itself: ``send_mask``
+  counts exactly the rows each (src → dst) pair exchanges per
+  all_to_all, twice per layer (X halo out, partial combine back);
+* **comm_frac** = boundary rows / full-replication rows (the design's
+  headline: ∝ cut, not ∝ N·D);
+* **modeled ICI time** = max-link bytes / per-link bandwidth (the
+  all_to_all critical path on a ring/torus) with the bandwidth an
+  explicit, recorded parameter;
+* **modeled compute time** = local nnz × measured per-nnz tree cost
+  (docs/KERNEL_NOTES.md, v5e honest fencing) — also recorded.
+
+Graphs: uniform random (near-worst-case cut) AND clustered
+(homophilic, hyperedges sorted by community so the contiguous edge
+partition aligns with structure — the regime the halo design is for).
+
+Optional ``--measure`` adds CPU-mesh wall-clock per shard count,
+labeled structural-validation only.
+
+Usage (CPU mesh):
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
         python experiments/weak_scaling.py --shards 1,2,4,8
 """
@@ -12,7 +31,6 @@ and reports the same efficiency metric:
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -23,72 +41,150 @@ apply_platform_env()
 import numpy as np
 
 
+def clustered_hypergraph(n_nodes, n_edges, avg, seed):
+    """Homophilic graph with hyperedges sorted by community, so the
+    contiguous hyperedge partition (edge_partition_bounds) is aligned
+    with structure — what a community-aware partitioner would produce."""
+    from hypergef_tpu.data.synthetic import homophilic_hypergraph
+    from hypergef_tpu.sparse.hypergraph import Hypergraph
+
+    n_classes = 32
+    hg, labels = homophilic_hypergraph(
+        n_nodes, n_edges, n_classes, avg_edge_size=avg, noise=0.05, seed=seed
+    )
+    # community reordering: renumber vertices so each class is a
+    # contiguous id range (what a community detector + relabel pass
+    # produces), then sort hyperedges by mean member id so the
+    # contiguous edge partition aligns with the vertex communities.
+    vperm = np.argsort(labels, kind="stable")  # new order
+    vrank = np.empty_like(vperm)
+    vrank[vperm] = np.arange(len(vperm))
+    vertex = []
+    keys = []
+    for e in range(hg.num_edges):
+        lo, hi = int(hg.ht_indptr[e]), int(hg.ht_indptr[e + 1])
+        mem = vrank[hg.ht_indices[lo:hi]]
+        keys.append(mem.mean() if len(mem) else 0.0)
+        vertex.append(mem)
+    order = np.argsort(np.asarray(keys), kind="stable")
+    vs, es = [], []
+    for new_e, old_e in enumerate(order):
+        vs.append(vertex[old_e])
+        es.append(np.full(len(vertex[old_e]), new_e, dtype=np.int64))
+    return Hypergraph.from_coo(
+        np.concatenate(vs), np.concatenate(es),
+        num_nodes=hg.num_nodes, num_edges=hg.num_edges, name="clustered",
+    )
+
+
+def analyze(hg, d, feat, ici_gbps, ns_per_nnz):
+    """Plan-derived traffic + modeled times for one (graph, D) point."""
+    from hypergef_tpu.parallel.halo import plan_halo
+
+    plan = plan_halo(hg, d)
+    # rows exchanged per (src, dst) link, one direction, one all_to_all
+    link_rows = plan.send_mask.sum(axis=2)  # [D, D]
+    np.fill_diagonal(link_rows, 0.0)  # self-exchange is local
+    bytes_per_row = feat * 4
+    total_bytes = float(link_rows.sum()) * bytes_per_row * 2  # 2 a2a/layer
+    max_link = float(link_rows.max()) * bytes_per_row * 2
+    # cross-shard boundary rows / full-replication rows (self-exchange is
+    # a local copy, not ICI traffic — excluded, unlike plan.comm_fraction)
+    comm_frac = float(link_rows.sum()) / max(d * hg.num_nodes, 1)
+    return plan, {
+        "comm_frac": comm_frac,
+        "total_MB": total_bytes / 1e6,
+        "max_link_MB": max_link / 1e6,
+        "t_ici_us": max_link / (ici_gbps * 1e9) * 1e6,
+        "t_compute_us": hg.nnz / d * ns_per_nnz * 1e-3,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shards", default="1,2,4,8")
     ap.add_argument("--nnz-per-shard", type=int, default=200_000)
     ap.add_argument("--feat", type=int, default=32)
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="assumed per-link ICI bandwidth (GB/s, one dir); "
+                    "recorded in the CSV — change to re-project")
+    ap.add_argument("--ns-per-nnz", type=float, default=16.0,
+                    help="measured per-nnz tree aggregation cost on v5e "
+                    "(docs/KERNEL_NOTES.md honest fencing)")
+    ap.add_argument("--measure", action="store_true",
+                    help="also run CPU-mesh wall clock (structural check)")
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--mode", default="halo", choices=["halo", "psum"])
-    ap.add_argument("--out", default="weak_scaling.csv")
+    ap.add_argument("--out", default="experiments/results/weak_scaling_r2.csv")
     args = ap.parse_args()
 
     import jax
 
     if os.environ.get("JAX_PLATFORMS") and "axon" not in os.environ["JAX_PLATFORMS"]:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    import jax.numpy as jnp
 
     from hypergef_tpu.data.synthetic import random_hypergraph
-    from hypergef_tpu.parallel import make_mesh, plan_sharded_aggregation
-    from hypergef_tpu.parallel.dist_aggr import sharded_hgnn_aggregate
 
+    rows = [
+        "# halo weak scaling: plan-derived traffic + modeled projection",
+        f"# ici_gbps={args.ici_gbps} ns_per_nnz={args.ns_per_nnz} "
+        f"feat={args.feat} nnz_per_shard={args.nnz_per_shard}",
+        "graph,shards,nnz,comm_frac,total_MB,max_link_MB,"
+        "t_ici_us,t_compute_us,comm_over_compute,wall_ms",
+    ]
+    for kind in ("random", "clustered"):
+        for d in map(int, args.shards.split(",")):
+            avg = 10.0
+            n_edges = args.nnz_per_shard * d // int(avg)
+            n_nodes = n_edges * 2
+            if kind == "random":
+                hg = random_hypergraph(n_nodes, n_edges, avg_edge_size=avg,
+                                       seed=0, name=f"ws{d}")
+            else:
+                hg = clustered_hypergraph(n_nodes, n_edges, avg, seed=0)
+            plan, m = analyze(hg, d, args.feat, args.ici_gbps, args.ns_per_nnz)
+            wall = ""
+            if args.measure and d <= len(jax.devices()):
+                wall = f"{measure_wall(hg, plan, d, args) * 1e3:.3f}"
+            ratio = m["t_ici_us"] / max(m["t_compute_us"], 1e-9)
+            row = (f"{kind},{d},{hg.nnz},{m['comm_frac']:.4f},"
+                   f"{m['total_MB']:.3f},{m['max_link_MB']:.3f},"
+                   f"{m['t_ici_us']:.2f},{m['t_compute_us']:.2f},"
+                   f"{ratio:.3f},{wall}")
+            rows.append(row)
+            print(row, flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as fo:
+        fo.write("\n".join(rows) + "\n")
+    print(f"wrote {args.out}")
+
+
+def measure_wall(hg, plan, d, args):
+    """Structural-validation wall clock on the local (CPU) mesh."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from hypergef_tpu.parallel import make_mesh
+    from hypergef_tpu.parallel.halo_aggr import (
+        halo_hgnn_aggregate,
+        shard_vertex_features,
+    )
     from hypergef_tpu.utils.timing import sync
 
-    base_t = None
-    rows = []
-    for d in map(int, args.shards.split(",")):
-        avg = 10.0
-        n_edges = args.nnz_per_shard * d // int(avg)
-        n_nodes = n_edges * 2
-        hg = random_hypergraph(n_nodes, n_edges, avg_edge_size=avg, seed=0,
-                               name=f"ws{d}")
-        mesh = make_mesh(d, 1, devices=jax.devices()[:d])
-        x = np.random.default_rng(0).normal(size=(n_nodes, args.feat)).astype(np.float32)
-        if args.mode == "halo":
-            from hypergef_tpu.parallel.halo import plan_halo
-            from hypergef_tpu.parallel.halo_aggr import (
-                halo_hgnn_aggregate,
-                shard_vertex_features,
-            )
-
-            plan = plan_halo(hg, d)
-            xs = jnp.asarray(shard_vertex_features(plan, x))
-            f = jax.jit(lambda xv: halo_hgnn_aggregate(plan, mesh, xv, None, "sum"))
-            comm = plan.comm_fraction()
-        else:
-            plan = plan_sharded_aggregation(hg, d)
-            xs = jnp.asarray(x)
-            degV = jnp.asarray(hg.degV)
-            f = jax.jit(
-                lambda xv: sharded_hgnn_aggregate(plan, mesh, xv, None, "sum", degV=degV)
-            )
-            comm = 1.0  # full-replication psum
-        sync(f(xs))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = f(xs)
-        sync(out)
-        t = (time.perf_counter() - t0) / args.iters
-        if base_t is None:
-            base_t = t
-        eff = base_t / t  # weak scaling: ideal = 1.0 (same time, d× work)
-        row = (f"mode={args.mode},shards={d},nnz={hg.nnz},{t*1e3:.3f}ms,"
-               f"weak_eff={eff:.3f},comm_frac={comm:.3f}")
-        rows.append(row)
-        print(row, flush=True)
-    with open(args.out, "a") as fo:
-        fo.write("\n".join(rows) + "\n")
+    mesh = make_mesh(d, 1, devices=jax.devices()[:d])
+    x = np.random.default_rng(0).normal(size=(hg.num_nodes, args.feat)).astype(
+        np.float32
+    )
+    xs = jnp.asarray(shard_vertex_features(plan, x))
+    f = jax.jit(lambda xv: halo_hgnn_aggregate(plan, mesh, xv, None, "sum"))
+    sync(f(xs))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.iters):
+        out = f(xs)
+    sync(out)
+    return (time.perf_counter() - t0) / args.iters
 
 
 if __name__ == "__main__":

@@ -49,10 +49,34 @@ def get_default_backend() -> str:
     return _DEFAULT_BACKEND
 
 
-def _resolve(backend: Optional[str], plan) -> str:
+# nnz above which the cumsum backend's prefix-difference error
+# (~eps · |running prefix|, i.e. growing with graph size) is no longer
+# acceptable: auto-route to the tree backend (direct per-segment sums)
+# when a plan is available, warn once otherwise.
+_CUMSUM_NNZ_GUARD = 1 << 20
+_warned_cumsum = False
+
+
+def _resolve(backend: Optional[str], plan, nnz: Optional[int] = None) -> str:
     b = backend or _DEFAULT_BACKEND
     if b == "auto":
         b = getattr(plan, "preferred_backend", None) or "cumsum"
+    if b == "cumsum" and nnz is not None and nnz > _CUMSUM_NNZ_GUARD:
+        if plan is not None and getattr(plan, "tree", None) is not None:
+            b = "tree"
+        else:
+            global _warned_cumsum
+            if not _warned_cumsum:
+                import warnings
+
+                warnings.warn(
+                    f"cumsum backend at nnz={nnz} > {_CUMSUM_NNZ_GUARD}: "
+                    "prefix-difference segment sums lose precision with the "
+                    "running-prefix magnitude; pass a plan so the tree "
+                    "backend (direct per-segment sums) can take over.",
+                    stacklevel=3,
+                )
+                _warned_cumsum = True
     if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp", "multihot") and plan is None:
         raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
@@ -184,7 +208,7 @@ def hgnn_aggregate(
     ``out = diag(degV) · H · diag(Wdiag·degE) · Hᵀ · X``  with
     first-stage reduce ∈ {sum, mean, max}.
     """
-    b = _resolve(backend, plan)
+    b = _resolve(backend, plan, nnz=int(hgd.h_edge.shape[0]))
     if b == "xla":
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, first_aggr)
     if first_aggr == "max":
@@ -270,7 +294,7 @@ def unignn_aggregate(
     backend: Optional[str] = None,
 ):
     """Fused UniGNN aggregation: ``H Hᵀ X`` or degree-scaled variant."""
-    b = _resolve(backend, plan)
+    b = _resolve(backend, plan, nnz=int(hgd.h_edge.shape[0]))
     if b == "xla":
         return refops.unignn_aggregate_ref(hgd, x, use_deg)
     if b == "cumsum":

@@ -386,6 +386,7 @@ def make_k10(n_big):
 
 
 K9_CASES = [("k9_g4", make_k9(64, 4)), ("k9_g16_t128", make_k9(128, 16)),
+            ("k11_g4_t512", make_k9(512, 4)), ("k11_g4_t256", make_k9(256, 4)),
             ("k10_n19968", make_k10(19968)), ("k10_n8192", make_k10(8192))]
 
 

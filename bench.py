@@ -75,7 +75,7 @@ def bench_e2e(args):
     _log(f"bench_e2e: per-epoch {t_s*1e6:.1f} us")
     epochs_per_s = 1.0 / t_s if t_s > 0 else float("inf")
     vs = REF_20NEWS_EPOCH_MS / (t_s * 1e3)
-    print(json.dumps({
+    return {
         "metric": "hgnn_e2e_train_epochs_per_s_20news_nhid32",
         "value": round(epochs_per_s, 2),
         "unit": "epochs/s",
@@ -84,7 +84,7 @@ def bench_e2e(args):
         "nnz": hg.nnz,
         "baseline": "RTX3090 hgsys fused e2e train epoch 20newsW100 nhid=32 = 1.471ms (BASELINE.md §2)",
         "note": "device time per full train step (fwd+nll+bwd+Adam), host dispatch excluded; 20news-shaped synthetic hypergraph",
-    }))
+    }
 
 
 def bench_kernel(args):
@@ -118,7 +118,7 @@ def bench_kernel(args):
     t_s = r["per_iter_s"]
     nnz_per_s = hg.nnz / t_s if t_s > 0 else float("inf")
     vs = (s["ref_ms"] / (t_s * 1e3)) if s["ref_ms"] else 0.0
-    print(json.dumps({
+    return {
         "metric": f"fused_hgnn_layer_nnz_per_s_{args.config}_f{args.feat}_{backend}",
         "value": round(nnz_per_s, 1),
         "unit": "incidence-nnz/s",
@@ -126,13 +126,13 @@ def bench_kernel(args):
         "per_iter_us": round(t_s * 1e6, 2),
         "compile_s": round(r["compile_s"], 1),
         "nnz": hg.nnz,
-        "baseline": "RTX3090 fused cora f=32 = 4.795us (BASELINE.md §1)",
-    }))
+        "baseline": f"RTX3090 fused {args.config} f=32 (BASELINE.md §1)",
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="e2e", choices=["e2e", "kernel"])
+    ap.add_argument("--mode", default="both", choices=["both", "e2e", "kernel"])
     ap.add_argument("--config", default="cora")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--feat", type=int, default=32)
@@ -140,9 +140,27 @@ def main():
     args = ap.parse_args()
     _apply_platform_env()
     if args.mode == "e2e":
-        bench_e2e(args)
+        print(json.dumps(bench_e2e(args)))
+    elif args.mode == "kernel":
+        print(json.dumps(bench_kernel(args)))
     else:
-        bench_kernel(args)
+        # headline (fig6-analogue e2e, dense regime) PLUS the sparse
+        # kernel-mode number (pubmed shape, the regime VERDICT r1 flagged)
+        # in ONE json line
+        rec = bench_e2e(args)
+        try:
+            import copy
+
+            kargs = copy.copy(args)
+            kargs.config = "pubmed"
+            krec = bench_kernel(kargs)
+            rec["sparse_kernel"] = {
+                k: krec[k] for k in
+                ("metric", "value", "unit", "vs_baseline", "per_iter_us")
+            }
+        except Exception as e:  # sparse leg must not sink the headline
+            rec["sparse_kernel"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ from hypergef_tpu.ops import refops, segments
 _DEFAULT_BACKEND = "cumsum"
 _VALID = (
     "auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "precomp",
-    "pallas", "multihot",
+    "pallas", "multihot", "pallas_sparse",
 )
 
 
@@ -77,7 +77,8 @@ def _resolve(backend: Optional[str], plan, nnz: Optional[int] = None) -> str:
                     stacklevel=3,
                 )
                 _warned_cumsum = True
-    if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp", "multihot") and plan is None:
+    if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp", "multihot",
+             "pallas_sparse") and plan is None:
         raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
 
@@ -254,6 +255,13 @@ def hgnn_aggregate(
         if mh is None:
             mh = plan  # raw multihot TreePlan passed directly
         return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, mh)
+    if b == "pallas_sparse":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        ps = getattr(plan, "pallas_sparse", None)
+        if ps is None:
+            ps = plan  # raw pallas-form TreePlan passed directly
+        return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, ps)
     if b == "dense":
         h = _get(plan, "dense").h
         xe = _dense_v2e(h, x, first_aggr, hgd)
@@ -330,6 +338,13 @@ def unignn_aggregate(
         if mh is None:
             mh = plan
         return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, mh)
+    if b == "pallas_sparse":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        ps = getattr(plan, "pallas_sparse", None)
+        if ps is None:
+            ps = plan
+        return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, ps)
     if b == "dense":
         h = _get(plan, "dense").h
         xe = _dense_v2e(h, x, "sum", hgd)

@@ -61,8 +61,28 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class PallasStageDev:
+    """Plain tree stage whose level 0 runs as a fused Pallas kernel
+    (:mod:`hypergef_tpu.ops.pallas_sparse`): in-kernel row gather +
+    chunk reduce, VMEM-resident X or pipelined per-row DMA.  Deeper
+    levels stay XLA (near-consecutive gathers)."""
+
+    stage: "object"  # the plain (levels, final_idx, final_mask, counts) tuple
+    impl: str = "auto"  # "auto" | "vmem" | "dma"
+
+
+jax.tree_util.register_dataclass(
+    PallasStageDev, data_fields=["stage"], meta_fields=["impl"]
+)
+
+
 def stage_counts(stage):
-    return stage.counts if isinstance(stage, TiledStageDev) else stage[3]
+    if isinstance(stage, TiledStageDev):
+        return stage.counts
+    if isinstance(stage, PallasStageDev):
+        return stage.stage[3]
+    return stage[3]
 
 
 # elements above which a level's [C, fan, F] gathered intermediate would
@@ -186,6 +206,21 @@ def _apply_tiled_multihot_batched(x, stage: TiledStageDev):
     return _apply_stage(flat, stage.combine)
 
 
+def _apply_pallas(x, pstage: PallasStageDev):
+    """Level 0 via the fused Pallas kernel, deeper levels via XLA."""
+    from hypergef_tpu.ops import pallas_sparse
+
+    levels, final_idx, final_mask, _ = pstage.stage
+    g0, m0 = levels[0]
+    interpret = jax.default_backend() != "tpu"
+    p = pallas_sparse.ell_gather_sum(
+        x, g0, m0, impl=pstage.impl, interpret=interpret
+    )
+    for g, m in levels[1:]:
+        p = apply_level(p, g, m)
+    return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
+
+
 def _apply_any(x, stage):
     if isinstance(stage, TiledStageDev):
         if stage.form == "multihot":
@@ -193,6 +228,8 @@ def _apply_any(x, stage):
         if stage.form == "multihot_batched":
             return _apply_tiled_multihot_batched(x, stage)
         return _apply_tiled(x, stage)
+    if isinstance(stage, PallasStageDev):
+        return _apply_pallas(x, stage)
     return _apply_stage(x, stage)
 
 

@@ -245,6 +245,10 @@ class TreePlan:
     vertex_stage: TreeStage
     num_nodes: int
     num_edges: int
+    # "xla" (default) | "pallas_auto" | "pallas_vmem" | "pallas_dma":
+    # non-xla forms run level 0 as the fused Pallas gather kernel
+    # (ops/pallas_sparse) — plain (non-tiled) stages only.
+    form: str = "xla"
     _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     @staticmethod
@@ -272,10 +276,17 @@ class TreePlan:
     def device(self):
         """Returns (edge_stage_pytree, vertex_stage_pytree) of jnp arrays."""
         if self._device is None:
-            self._device = (
-                self._stage_device(self.edge_stage),
-                self._stage_device(self.vertex_stage),
-            )
+            e = self._stage_device(self.edge_stage)
+            v = self._stage_device(self.vertex_stage)
+            if self.form.startswith("pallas"):
+                from hypergef_tpu.ops.tree import PallasStageDev, TiledStageDev
+
+                impl = self.form.split("_", 1)[1] if "_" in self.form else "auto"
+                if not isinstance(e, TiledStageDev):
+                    e = PallasStageDev(stage=e, impl=impl)
+                if not isinstance(v, TiledStageDev):
+                    v = PallasStageDev(stage=v, impl=impl)
+            self._device = (e, v)
         return self._device
 
     def depth(self):
@@ -363,6 +374,7 @@ class AggregationPlan:
     bsr: Optional[object] = None  # BsrPlan (sparse.bsr)
     precomp: Optional[DensePrecomp] = None
     multihot: Optional["TreePlan"] = None  # multihot-MXU TreePlan
+    pallas_sparse: Optional["TreePlan"] = None  # pallas-level-0 TreePlan
     preferred_backend: str = "tree"
 
 
@@ -602,6 +614,23 @@ def build_tiled_tree(
         num_segments=num_rows,
         form=form,
     )
+
+
+def plan_pallas_sparse(hg, impl: str = "auto", ngs: Optional[int] = None,
+                       fan: int = 8) -> TreePlan:
+    """Tree plan whose level 0 runs as the fused Pallas gather kernel
+    (``ops/pallas_sparse``): "vmem" pins X in VMEM (small/medium X),
+    "dma" pipelines per-row HBM DMAs (large X), "auto" picks by size."""
+    plan = plan_tree(hg, ngs=ngs, fan=fan)
+    plan = TreePlan(
+        edge_stage=plan.edge_stage,
+        vertex_stage=plan.vertex_stage,
+        num_nodes=plan.num_nodes,
+        num_edges=plan.num_edges,
+        form=f"pallas_{impl}",
+    )
+    plan.device()
+    return plan
 
 
 def plan_multihot(

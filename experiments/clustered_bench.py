@@ -110,14 +110,17 @@ def main():
         except Exception as exc:  # noqa: BLE001
             rows.append(f"{gname},{hg.nnz},bsr,,FAILED,{type(exc).__name__}")
         for tr in (128, 256, 512):
-            try:
-                mh = planner.plan_multihot(hg, tile_rows=tr)
-                frag = round(mh.edge_stage.fragmentation(), 3)
-                cands.append(("multihot", {"tile_rows": tr, "frag": frag},
-                              planner.AggregationPlan(tree=planner.plan_tree(hg),
-                                                      multihot=mh)))
-            except MemoryError:
-                rows.append(f"{gname},{hg.nnz},multihot,tr={tr},SKIP,pad-blowup")
+            for form in ("multihot", "multihot_precomp"):
+                try:
+                    mh = planner.plan_multihot(hg, tile_rows=tr, form=form)
+                    frag = round(mh.edge_stage.fragmentation(), 3)
+                    label = "mh" if form == "multihot" else "mhp"
+                    cands.append(
+                        ("multihot", {"tile_rows": tr, "frag": frag, "form": label},
+                         planner.AggregationPlan(tree=planner.plan_tree(hg),
+                                                 multihot=mh)))
+                except MemoryError:
+                    rows.append(f"{gname},{hg.nnz},multihot,tr={tr};{form},SKIP,pad-blowup")
         base_plan = planner.AggregationPlan(tree=planner.plan_tree(hg))
         for backend, params, plan in cands:
             p = plan or base_plan

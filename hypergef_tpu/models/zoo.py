@@ -54,6 +54,11 @@ class HGNN(nn.Module):
             )(x, hgd, plan)
             x = act(x)
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        # DELIBERATE deviation from the reference: its conv_out keeps
+        # heads=nhead, emitting nhead*nclass logits and softmaxing over
+        # that widened vector (gnn.py conv_out quirk) — here the output
+        # layer is heads=1 so logits == nclass for any nhead.  Defaults
+        # (nhead=1) are identical.
         x = HGNNConv(
             self.nclass,
             first_aggr=self.first_aggr,

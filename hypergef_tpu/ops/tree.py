@@ -52,11 +52,12 @@ class TiledStageDev:
     counts: "object" = None  # [num_segments] f32 (mean denominators)
     tile_rows: int = 0
     form: str = "gather"
+    m_dense: "object" = None  # [n_tiles, c_max, tile_rows] bf16 (precomp form)
 
 
 jax.tree_util.register_dataclass(
     TiledStageDev,
-    data_fields=["gidx", "mask", "combine", "counts"],
+    data_fields=["gidx", "mask", "combine", "counts", "m_dense"],
     meta_fields=["tile_rows", "form"],
 )
 
@@ -221,12 +222,31 @@ def _apply_pallas(x, pstage: PallasStageDev):
     return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
 
 
+def _apply_tiled_multihot_precomp(x, stage: TiledStageDev):
+    """Level 0 with the HOST-precomputed dense multihot blocks: pure
+    streaming batched MXU matmul, zero in-kernel compare work.  The
+    memory trade (n_tiles·c_max·tile_rows bf16) is guarded at plan time;
+    this is the fastest form whenever M fits (mid-size graphs)."""
+    m = stage.m_dense  # [n_tiles, c_max, tile_rows] bf16
+    n_tiles, c_max, t_rows = m.shape
+    pad = n_tiles * t_rows - x.shape[0]
+    xt = jnp.pad(x, ((0, max(pad, 0)), (0, 0))).astype(jnp.bfloat16)
+    xt = xt.reshape(n_tiles, t_rows, -1)
+    partial = jax.lax.dot_general(
+        m, xt, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [n_tiles, c_max, F]
+    flat = partial.reshape(n_tiles * c_max, -1)
+    return _apply_stage(flat, stage.combine)
+
+
 def _apply_any(x, stage):
     if isinstance(stage, TiledStageDev):
         if stage.form == "multihot":
             return _apply_tiled_multihot(x, stage)
         if stage.form == "multihot_batched":
             return _apply_tiled_multihot_batched(x, stage)
+        if stage.form == "multihot_precomp":
+            return _apply_tiled_multihot_precomp(x, stage)
         return _apply_tiled(x, stage)
     if isinstance(stage, PallasStageDev):
         return _apply_pallas(x, stage)

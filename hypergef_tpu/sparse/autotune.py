@@ -91,6 +91,7 @@ def default_candidates(hg) -> list:
         cands.append(("precomp", {}))
     for tr in (128, 256, 512):
         cands.append(("multihot", {"tile_rows": tr}))
+        cands.append(("multihot", {"tile_rows": tr, "form": "multihot_precomp"}))
     return cands
 
 
@@ -112,7 +113,12 @@ def _build_plan(hg, backend: str, params: dict):
             tree=tree, precomp=planner.DensePrecomp.from_hypergraph(hg)
         )
     if backend == "multihot":
-        return planner.plan_multihot(hg, tile_rows=params.get("tile_rows", 256))
+        return planner.plan_multihot(
+            hg,
+            tile_rows=params.get("tile_rows", 256),
+            ngs=params.get("ngs", 8),
+            form=params.get("form", "multihot"),
+        )
     if backend == "bsr":
         from hypergef_tpu.sparse.bsr import plan_bsr
 

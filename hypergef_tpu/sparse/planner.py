@@ -258,6 +258,20 @@ class TreePlan:
         if isinstance(st, TiledStage):
             from hypergef_tpu.ops.tree import TiledStageDev
 
+            m_dense = None
+            if st.form == "multihot_precomp":
+                # host-build the dense multihot blocks once: streaming
+                # batched-MXU form with zero in-kernel compare work
+                n_tiles, c_max, ngs = st.gidx.shape
+                m = np.zeros((n_tiles, c_max, st.tile_rows), np.float32)
+                t_g = np.broadcast_to(
+                    np.arange(n_tiles)[:, None, None], st.gidx.shape
+                )
+                c_g = np.broadcast_to(
+                    np.arange(c_max)[None, :, None], st.gidx.shape
+                )
+                np.add.at(m, (t_g, c_g, st.gidx), st.mask)
+                m_dense = jnp.asarray(m, dtype=jnp.bfloat16)
             return TiledStageDev(
                 gidx=jnp.asarray(st.gidx),
                 mask=jnp.asarray(st.mask),
@@ -265,6 +279,7 @@ class TreePlan:
                 counts=jnp.asarray(st.counts),
                 tile_rows=st.tile_rows,
                 form=st.form,
+                m_dense=m_dense,
             )
         return (
             tuple((jnp.asarray(l.gather_idx), jnp.asarray(l.mask)) for l in st.levels),
@@ -437,17 +452,12 @@ def plan_aggregation(
         precomp = DensePrecomp.from_hypergraph(hg)
     if hg.num_nodes * hg.num_edges <= dense_threshold:
         dense = DenseIncidence.from_hypergraph(hg)
-        # fused Pallas two-stage kernel when on TPU and Xe (E×F, F≤128
-        # lane-padded) fits its VMEM scratch budget — measured 2.4× the
-        # XLA dense path on-chip; dispatcher falls back to dense past the
-        # guard.  On CPU pallas only runs interpreted → prefer dense.
-        import jax
-
-        pallas_ok = (
-            jax.default_backend() == "tpu"
-            and hg.num_edges * 128 * 4 <= 4 * 1024 * 1024
-        )
-        preferred = "pallas" if pallas_ok else "dense"
+        # The fused Pallas two-stage dense kernel TIES the XLA dense path
+        # under honest (value-fetch) fencing — the earlier 2.4× claim was
+        # measured with the broken block_until_ready fence
+        # (docs/KERNEL_NOTES.md round-1 addendum).  Demoted: dense is the
+        # auto choice; "pallas" remains available as an explicit backend.
+        preferred = "dense"
     elif with_bsr or with_bsr is None:
         # too big for dense: consider MXU block-sparse before the tree
         try:
@@ -633,12 +643,19 @@ def plan_pallas_sparse(hg, impl: str = "auto", ngs: Optional[int] = None,
     return plan
 
 
+# per-stage byte budget for the host-precomputed dense multihot blocks
+# (bf16).  Above it the precomp form silently downgrades to the
+# in-kernel compare form, which has no such footprint.
+MULTIHOT_PRECOMP_LIMIT = 256 * 1024 * 1024
+
+
 def plan_multihot(
     hg,
     tile_rows: int = 256,
     ngs: int = 8,
     fan: int = 8,
     form: str = "multihot",
+    precomp_limit_bytes: int = MULTIHOT_PRECOMP_LIMIT,
 ) -> TreePlan:
     """Multihot-MXU plan: both aggregation directions as tile-bucketed
     stages whose level 0 is a multihot bf16 matmul per source tile.
@@ -657,6 +674,16 @@ def plan_multihot(
     v_stage = build_tiled_tree(
         hg.h_indptr, hg.h_indices, hg.num_edges, ngs, fan, tile_rows, form
     )
+    if form == "multihot_precomp":
+        # downgrade per stage when the dense blocks would not fit
+        def _fit(st):
+            n_tiles, c_max, _ = st.gidx.shape
+            if n_tiles * c_max * st.tile_rows * 2 > precomp_limit_bytes:
+                return st._replace(form="multihot")
+            return st
+
+        e_stage = _fit(e_stage)
+        v_stage = _fit(v_stage)
     plan = TreePlan(
         edge_stage=e_stage,
         vertex_stage=v_stage,

@@ -97,3 +97,43 @@ def test_multihot_in_aggregation_plan():
     want = dense_hgnn_oracle(hg, x, None, "sum")
     got = fused.hgnn_aggregate(hgd, x, None, "sum", plan=plan, backend="multihot")
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("case", [0, 1, 2])
+def test_multihot_precomp_parity(case):
+    """Host-precomputed dense multihot blocks (streaming MXU form)."""
+    hg, hgd, plan = _case(case, form="multihot_precomp")
+    rng = np.random.default_rng(case)
+    x = rng.normal(size=(hg.num_nodes, 5)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (hg.num_edges, 1)).astype(np.float32)
+    want = dense_hgnn_oracle(hg, x, w, "sum")
+    got = fused.hgnn_aggregate(
+        hgd, x, jnp.asarray(w), "sum", plan=plan, backend="multihot"
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)
+    # gradient through the precomp form (tree VJP stage swap)
+    g = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=plan,
+                                 backend="multihot") ** 2
+        )
+    )(jnp.asarray(x))
+    ref = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=None,
+                                 backend="xla") ** 2
+        )
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=5e-2, atol=5e-2)
+
+
+def test_multihot_precomp_downgrade():
+    """Above the byte budget the precomp form downgrades per stage."""
+    from hypergef_tpu.sparse.planner import plan_multihot
+
+    hg = random_hypergraph(256, 150, avg_edge_size=4.0, seed=1)
+    hg = hg[0] if isinstance(hg, tuple) else hg
+    plan = plan_multihot(hg, tile_rows=64, form="multihot_precomp",
+                         precomp_limit_bytes=16)
+    assert plan.edge_stage.form == "multihot"
+    assert plan.vertex_stage.form == "multihot"

@@ -189,4 +189,78 @@ int64_t hg_build_ell(const int64_t* indptr, const int32_t* indices,
   return chunk;
 }
 
+// ---------------------------------------------------------------------
+// Community ordering (hypergraph label propagation)
+// ---------------------------------------------------------------------
+// Role parity with the reference's vendored-but-unused Rabbit Order
+// subsystem (reference include/reorder/rabbit_order.hpp:267-753): a
+// locality-creating vertex ordering.  On TPU this ordering is
+// load-bearing — the multihot-MXU and BSR backends' cost scales with
+// how tile-local each hyperedge's members are (see
+// sparse/planner.py::TiledStage.fragmentation).  Implemented fresh as
+// synchronous hypergraph label propagation:
+//
+//   labels v <- vertex id;  repeat iters times:
+//     label(e) = mode over members' labels   (tie -> smallest label)
+//     label(v) = mode over incident edges' labels (tie -> smallest)
+//   order = vertices sorted by (final label, id)
+//
+// Deterministic; bit-identical to the NumPy twin in
+// hypergef_tpu/sparse/reorder.py (tested in tests/test_native.py).
+
+namespace {
+
+// mode of vals[lo:hi) after sorting scratch; ties -> smallest value.
+int32_t run_mode(std::vector<int32_t>& scratch) {
+  if (scratch.empty()) return 0;
+  std::sort(scratch.begin(), scratch.end());
+  int32_t best = scratch[0], cur = scratch[0];
+  int64_t best_n = 1, cur_n = 1;
+  for (size_t i = 1; i < scratch.size(); ++i) {
+    if (scratch[i] == cur) {
+      ++cur_n;
+    } else {
+      cur = scratch[i];
+      cur_n = 1;
+    }
+    if (cur_n > best_n) {
+      best_n = cur_n;
+      best = cur;
+    }
+  }
+  return best;
+}
+
+}  // namespace
+
+void hg_community_order(int64_t n, int64_t e, const int64_t* ht_indptr,
+                        const int32_t* ht_vertex, const int64_t* h_indptr,
+                        const int32_t* h_edge, int32_t iters,
+                        int32_t* order_out) {
+  std::vector<int32_t> vlab(n), elab(e > 0 ? e : 1, 0);
+  for (int64_t v = 0; v < n; ++v) vlab[v] = (int32_t)v;
+  std::vector<int32_t> scratch;
+  for (int32_t it = 0; it < iters; ++it) {
+    for (int64_t ed = 0; ed < e; ++ed) {
+      scratch.clear();
+      for (int64_t k = ht_indptr[ed]; k < ht_indptr[ed + 1]; ++k)
+        scratch.push_back(vlab[ht_vertex[k]]);
+      elab[ed] = scratch.empty() ? (int32_t)ed : run_mode(scratch);
+    }
+    for (int64_t v = 0; v < n; ++v) {
+      scratch.clear();
+      for (int64_t k = h_indptr[v]; k < h_indptr[v + 1]; ++k)
+        scratch.push_back(elab[h_edge[k]]);
+      if (!scratch.empty()) vlab[v] = run_mode(scratch);
+    }
+  }
+  // stable order by (label, id)
+  std::vector<int64_t> idx(n);
+  for (int64_t v = 0; v < n; ++v) idx[v] = v;
+  std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+    return vlab[a] < vlab[b];
+  });
+  for (int64_t i = 0; i < n; ++i) order_out[i] = (int32_t)idx[i];
+}
+
 }  // extern "C"

@@ -176,11 +176,31 @@ def plan_bsr(
     hg,
     reorder: bool = True,
     max_bytes: int = 2_000_000_000,
+    method: str = "rcm",
 ) -> BsrPlan:
-    """Build the BSR plan; raises MemoryError when blocks exceed budget."""
+    """Build the BSR plan; raises MemoryError when blocks exceed budget.
+
+    ``method``: "rcm" (bandwidth-minimizing bipartite RCM) or
+    "community" (label-propagation community order from
+    :mod:`hypergef_tpu.sparse.reorder` — typically higher block fill on
+    clustered graphs, the Rabbit-Order rationale)."""
     vperm = eperm = None
     if reorder:
-        vperm, eperm = rcm_bipartite_order(hg)
+        if method == "community":
+            from hypergef_tpu.sparse.reorder import community_order
+
+            vperm = community_order(hg).astype(np.int64)
+            # edges ordered by mean member rank (aligns edge blocks)
+            vrank = np.empty_like(vperm)
+            vrank[vperm] = np.arange(len(vperm))
+            sums = np.zeros(hg.num_edges)
+            sizes = hg.edge_sizes()
+            np.add.at(sums, np.repeat(np.arange(hg.num_edges), sizes),
+                      vrank[hg.ht_indices.astype(np.int64)])
+            key = sums / np.maximum(sizes, 1)
+            eperm = np.argsort(key, kind="stable")
+        else:
+            vperm, eperm = rcm_bipartite_order(hg)
         # permuted CSRs (vertices and edges relabelled)
         from hypergef_tpu.sparse.hypergraph import Hypergraph
 
@@ -193,7 +213,7 @@ def plan_bsr(
         e_new = einv[np.repeat(np.arange(hg.num_edges, dtype=np.int64), sizes)]
         hg_p = Hypergraph.from_coo(
             v_new, e_new, num_nodes=hg.num_nodes, num_edges=hg.num_edges,
-            name=hg.name + "+rcm", dedup=False,
+            name=hg.name + "+" + method, dedup=False,
         )
     else:
         hg_p = hg

@@ -67,6 +67,16 @@ def _load() -> Optional[ctypes.CDLL]:
         i64p, i32p,  # indptr out, indices out
     ]
     lib.hg_coo_to_csr.restype = ctypes.c_int
+
+    if hasattr(lib, "hg_community_order"):
+        lib.hg_community_order.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,  # n, e
+            i64p, i32p,  # ht_indptr, ht_vertex (edge-major)
+            i64p, i32p,  # h_indptr, h_edge (vertex-major)
+            ctypes.c_int32,  # iters
+            i32p,  # order out [n]
+        ]
+        lib.hg_community_order.restype = None
     _LIB = lib
     return _LIB
 
@@ -170,3 +180,22 @@ def build_ell_native(indptr: np.ndarray, indices: np.ndarray, ngs: int, pad_chun
 if __name__ == "__main__":  # pragma: no cover
     ok = build(verbose=True)
     print("native build:", "ok" if ok else "FAILED")
+
+
+def community_order_native(hg, iters: int = 8):
+    """C++ label-propagation community order; None if lib unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hg_community_order"):
+        return None
+    n, e = hg.num_nodes, hg.num_edges
+    ht_indptr = np.ascontiguousarray(hg.ht_indptr, dtype=np.int64)
+    ht_vertex = np.ascontiguousarray(hg.ht_indices, dtype=np.int32)
+    h_indptr = np.ascontiguousarray(hg.h_indptr, dtype=np.int64)
+    h_edge = np.ascontiguousarray(hg.h_indices, dtype=np.int32)
+    order = np.empty(n, dtype=np.int32)
+    lib.hg_community_order(
+        n, e, _i64p(ht_indptr), _i32p(ht_vertex),
+        _i64p(h_indptr), _i32p(h_edge),
+        ctypes.c_int32(iters), _i32p(order),
+    )
+    return order

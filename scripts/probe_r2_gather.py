@@ -102,7 +102,7 @@ def _vmem_kernel(idx_ref, mask_ref, x_ref, o_ref):
     jax.lax.fori_loop(0, t, body, 0)
 
 
-def pallas_vmem_stage(x, gidx, gmask, block_chunks=512):
+def pallas_vmem_stage(x, gidx, gmask, block_chunks=256):
     c = gidx.shape[0]
     f = x.shape[1]
     grid = (c // block_chunks,)
@@ -294,7 +294,7 @@ def run_scale(scale):
         # correctness check of each stage impl vs the numpy oracle
         oracle = (x[gidx.reshape(-1)].reshape(c, NGS, f) * gmask[:, :, None]).sum(1)
         for name, fn in (
-            ("pallas_vmem", lambda: pallas_vmem_stage(xj, gj, mj, block_chunks=512)),
+            ("pallas_vmem", lambda: pallas_vmem_stage(xj, gj, mj, block_chunks=512)),  # noqa
             ("pallas_dma", lambda: pallas_dma_stage(xj, gj, mj, block_chunks=512, n_buf=4)),
         ):
             try:
@@ -332,7 +332,7 @@ def run_scale(scale):
     if want("pallas_dma"):
         for nb in (4, 8, 16):
             chain_time(f"pallas_dma b={nb:<3}",
-                       functools.partial(pallas_dma_stage, n_buf=nb, block_chunks=512),
+                       functools.partial(pallas_dma_stage, n_buf=nb, block_chunks=256),
                        xj, (gj, mj))
     if want("multihot"):
         for label, clus in (("rand", 0), ("clus", tile_rows)):

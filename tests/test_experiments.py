@@ -52,7 +52,11 @@ def test_weak_scaling_smoke(tmp_path):
     r = run("weak_scaling.py", "--shards", "1,2", "--nnz-per-shard", "5000",
             "--iters", "2", "--out", str(tmp_path / "ws.csv"))
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "weak_eff" in open(tmp_path / "ws.csv").read()
+    body = open(tmp_path / "ws.csv").read()
+    # plan-derived traffic schema (round 2): comm fraction + per-link
+    # bytes + modeled ICI time, for random AND clustered graphs
+    assert "comm_frac" in body and "max_link_MB" in body
+    assert "clustered,2," in body and "random,2," in body
 
 
 def test_bench_kernel_smoke(tmp_path):

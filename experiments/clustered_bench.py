@@ -124,13 +124,25 @@ def main():
         base_plan = planner.AggregationPlan(tree=planner.plan_tree(hg))
         for backend, params, plan in cands:
             p = plan or base_plan
+            # pass graph data + device plan as jit OPERANDS: embedded
+            # constants above ~200MB (BSR blocks, mhp tables) make the
+            # tunnel's remote-compile reject the program (HTTP 413)
+            if backend == "bsr":
+                pdev = p.bsr.as_device()
+            elif backend == "multihot":
+                pdev = p.multihot.as_device()
+            elif backend == "tree":
+                pdev = p.tree.as_device()
+            else:
+                pdev = None
             try:
-                def step(xv):
-                    y = fused.hgnn_aggregate(hgd, xv, None, "sum", plan=p,
+                def step(xv, hgd_, pd):
+                    y = fused.hgnn_aggregate(hgd_, xv, None, "sum", plan=pd,
                                              backend=backend)
                     return xv + 1e-30 * jnp.sum(y)
 
-                t = device_time_per_iter(step, x0, iters=args.iters)
+                t = device_time_per_iter(step, x0, iters=args.iters,
+                                         operands=(hgd, pdev))
                 row = (f"{gname},{hg.nnz},{backend},"
                        f"{';'.join(f'{k}={v}' for k, v in params.items())},"
                        f"{t['per_iter_s']*1e6:.1f},compile={t['compile_s']:.0f}s")

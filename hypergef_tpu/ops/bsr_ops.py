@@ -73,11 +73,20 @@ def _permute(x, perm):
     return x if perm is None else jnp.take(x, perm, axis=0)
 
 
+def _row_bounds(plan):
+    """True output row counts from a BsrPlan or a DevBsrPlan."""
+    e_rows = getattr(plan, "e_rows", None)
+    if e_rows is not None:
+        return e_rows, plan.v_rows
+    return plan.edge_stage.num_rows, plan.vertex_stage.num_rows
+
+
 def hgnn_aggregate_bsr(hgd, x, wdiag, first_aggr, plan):
     """HGNN aggregation over a BsrPlan (sum/mean)."""
     e_stage, v_stage, vp, vinv, ep = plan.device()
+    e_rows, v_rows = _row_bounds(plan)
     xp = _permute(x, vp)  # into permuted vertex space
-    xe = bsr_matvec(xp, e_stage, v_stage, plan.edge_stage.num_rows)
+    xe = bsr_matvec(xp, e_stage, v_stage, e_rows)
     # per-edge scalings live in the *original* edge ids — permute them once
     degE = _permute(hgd.degE, ep)
     if first_aggr == "mean":
@@ -86,18 +95,19 @@ def hgnn_aggregate_bsr(hgd, x, wdiag, first_aggr, plan):
     xe = xe * degE
     if wdiag is not None:
         xe = xe * _permute(wdiag, ep)
-    xv = bsr_matvec(xe, v_stage, e_stage, plan.vertex_stage.num_rows)
+    xv = bsr_matvec(xe, v_stage, e_stage, v_rows)
     xv = xv * _permute(hgd.degV, vp)
     return _permute(xv, vinv)  # back to original vertex order
 
 
 def unignn_aggregate_bsr(hgd, x, use_deg, plan):
     e_stage, v_stage, vp, vinv, ep = plan.device()
+    e_rows, v_rows = _row_bounds(plan)
     xp = _permute(x, vp)
-    xe = bsr_matvec(xp, e_stage, v_stage, plan.edge_stage.num_rows)
+    xe = bsr_matvec(xp, e_stage, v_stage, e_rows)
     if use_deg:
         xe = xe * _permute(hgd.degE, ep)
-    xv = bsr_matvec(xe, v_stage, e_stage, plan.vertex_stage.num_rows)
+    xv = bsr_matvec(xe, v_stage, e_stage, v_rows)
     if use_deg:
         xv = xv * _permute(hgd.degV, vp)
     return _permute(xv, vinv)

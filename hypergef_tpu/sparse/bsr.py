@@ -151,6 +151,19 @@ class BsrPlan:
             TreePlan._stage_device(st.combine),
         )
 
+    def as_device(self):
+        """Jit-argument pytree twin (:class:`ops.devplan.DevBsrPlan`) —
+        BSR blocks are the biggest plan payload in the tree (hundreds of
+        MB at ~0.1% fill); embedding them as program constants trips the
+        tunneled remote-compile size limit."""
+        from hypergef_tpu.ops.devplan import DevBsrPlan
+
+        return DevBsrPlan(
+            self.device(),
+            e_rows=self.edge_stage.num_rows,
+            v_rows=self.vertex_stage.num_rows,
+        )
+
     def device(self):
         if self._device is None:
             import jax.numpy as jnp

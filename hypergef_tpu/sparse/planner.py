@@ -307,6 +307,15 @@ class TreePlan:
     def depth(self):
         return (len(self.edge_stage.levels), len(self.vertex_stage.levels))
 
+    def as_device(self):
+        """Jit-argument pytree twin (:class:`ops.devplan.DevTreePlan`) —
+        pass it as an operand instead of closing over the plan, or the
+        device arrays become embedded program constants (the tunneled
+        remote-compile service rejects >~200 MB of those)."""
+        from hypergef_tpu.ops.devplan import DevTreePlan
+
+        return DevTreePlan(self.device())
+
 
 # Cache-blocked level 0 is OPT-IN: on-chip measurement showed XLA-level
 # dynamic-slice tiling does NOT change gather cost (2.11 s vs 2.02 s at

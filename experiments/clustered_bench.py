@@ -121,6 +121,16 @@ def main():
                                                  multihot=mh)))
                 except MemoryError:
                     rows.append(f"{gname},{hg.nnz},multihot,tr={tr};{form},SKIP,pad-blowup")
+        try:
+            al = planner.plan_aligned(hg)
+            sp = round(max(al.edge_stage.spill_fraction,
+                           al.vertex_stage.spill_fraction), 3)
+            wbs = (al.edge_stage.window_blocks, al.vertex_stage.window_blocks)
+            cands.append(("aligned", {"spill": sp, "wb": f"{wbs[0]}/{wbs[1]}"},
+                          planner.AggregationPlan(tree=planner.plan_tree(hg),
+                                                  aligned=al)))
+        except (ValueError, MemoryError) as exc:
+            rows.append(f"{gname},{hg.nnz},aligned,,REFUSED,{type(exc).__name__}")
         base_plan = planner.AggregationPlan(tree=planner.plan_tree(hg))
         for backend, params, plan in cands:
             p = plan or base_plan
@@ -131,6 +141,8 @@ def main():
                 pdev = p.bsr.as_device()
             elif backend == "multihot":
                 pdev = p.multihot.as_device()
+            elif backend == "aligned":
+                pdev = p.aligned.as_device()
             elif backend == "tree":
                 pdev = p.tree.as_device()
             else:

@@ -34,7 +34,7 @@ from hypergef_tpu.ops import refops, segments
 _DEFAULT_BACKEND = "cumsum"
 _VALID = (
     "auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "precomp",
-    "pallas", "multihot", "pallas_sparse",
+    "pallas", "multihot", "pallas_sparse", "aligned",
 )
 
 
@@ -78,7 +78,7 @@ def _resolve(backend: Optional[str], plan, nnz: Optional[int] = None) -> str:
                 )
                 _warned_cumsum = True
     if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp", "multihot",
-             "pallas_sparse") and plan is None:
+             "pallas_sparse", "aligned") and plan is None:
         raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
 
@@ -167,7 +167,7 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
     requested backend's E→V sum stage.  Falls back to the nnz oracle
     when no (plain) tree plan is available."""
     from hypergef_tpu.ops import maxops
-    from hypergef_tpu.ops.tree import TiledStageDev
+    from hypergef_tpu.ops.tree import AlignedStageDev, TiledStageDev
     from hypergef_tpu.ops import tree as tree_ops
 
     tree_plan = getattr(plan, "tree", None) or plan
@@ -175,7 +175,9 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
     if dev is None:
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
     e_stage, v_stage = tree_plan.device()
-    if isinstance(e_stage, TiledStageDev):
+    if isinstance(e_stage, (TiledStageDev, AlignedStageDev)):
+        # max needs the argmax-carrying plain-tree levels; matmul-form
+        # stages cannot express it — route to the exact oracle path
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
     xe = maxops.v2e_max_tree(
         x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr
@@ -255,6 +257,13 @@ def hgnn_aggregate(
         if mh is None:
             mh = plan  # raw multihot TreePlan passed directly
         return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, mh)
+    if b == "aligned":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        al = getattr(plan, "aligned", None)
+        if al is None:
+            al = plan  # raw aligned TreePlan passed directly
+        return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, al)
     if b == "pallas_sparse":
         from hypergef_tpu.ops import tree as tree_ops
 
@@ -338,6 +347,13 @@ def unignn_aggregate(
         if mh is None:
             mh = plan
         return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, mh)
+    if b == "aligned":
+        from hypergef_tpu.ops import tree as tree_ops
+
+        al = getattr(plan, "aligned", None)
+        if al is None:
+            al = plan
+        return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, al)
     if b == "pallas_sparse":
         from hypergef_tpu.ops import tree as tree_ops
 

@@ -63,6 +63,32 @@ jax.tree_util.register_dataclass(
 
 
 @dataclasses.dataclass(frozen=True)
+class AlignedStageDev:
+    """Device bundle for a segment-aligned banded-multihot stage
+    (:class:`hypergef_tpu.sparse.planner.AlignedStage`): output rows are
+    the segments in order (reshape+slice, no final gather); each group
+    reads a contiguous window of source blocks (block gather) and one
+    small spill table.  All static bounds ride as pytree metadata."""
+
+    b_dense: "object"  # [n_groups, G, W] bf16
+    win_block: "object"  # [n_groups, wb] int32
+    spill_src: "object"  # [n_groups, spill_w] int32
+    b_spill: "object"  # [n_groups, G, spill_w] bf16
+    counts: "object"  # [num_segments] f32
+    num_inputs: int = 0
+    num_segments: int = 0
+    group_rows: int = 128
+    window_blocks: int = 4
+
+
+jax.tree_util.register_dataclass(
+    AlignedStageDev,
+    data_fields=["b_dense", "win_block", "spill_src", "b_spill", "counts"],
+    meta_fields=["num_inputs", "num_segments", "group_rows", "window_blocks"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class PallasStageDev:
     """Plain tree stage whose level 0 runs as a fused Pallas kernel
     (:mod:`hypergef_tpu.ops.pallas_sparse`): in-kernel row gather +
@@ -79,7 +105,7 @@ jax.tree_util.register_dataclass(
 
 
 def stage_counts(stage):
-    if isinstance(stage, TiledStageDev):
+    if isinstance(stage, (TiledStageDev, AlignedStageDev)):
         return stage.counts
     if isinstance(stage, PallasStageDev):
         return stage.stage[3]
@@ -126,6 +152,16 @@ def _apply_stage(x, stage):
     return apply_levels(x, levels, final_idx, final_mask)
 
 
+def _apply_combine(flat, combine):
+    """Combine partials via a plain tree stage OR a nested TiledStageDev
+    (multihot-MXU combine — the gather tree is the bottleneck once
+    level 0 is a matmul; measured 339–915 µs vs 3–62 µs level-0 on
+    pubmed shapes, so clustered plans nest a second multihot level)."""
+    if isinstance(combine, TiledStageDev):
+        return _apply_any(flat, combine)
+    return _apply_stage(flat, combine)
+
+
 def _apply_tiled(x, stage: TiledStageDev):
     """Cache-blocked level 0: scan over source tiles, gathering from a
     dynamically-sliced (VMEM-sized) tile, then tree-combine partials."""
@@ -147,7 +183,7 @@ def _apply_tiled(x, stage: TiledStageDev):
         body, None, (gidx, mask, jnp.arange(n_tiles, dtype=jnp.int32))
     )  # [n_tiles, c_max, F]
     flat = partial.reshape(n_tiles * c_max, -1)
-    return _apply_stage(flat, stage.combine)
+    return _apply_combine(flat, stage.combine)
 
 
 def _multihot_tile(t_gidx, t_mask, tile_rows):
@@ -188,7 +224,7 @@ def _apply_tiled_multihot(x, stage: TiledStageDev):
         body, None, (gidx, mask, jnp.arange(n_tiles, dtype=jnp.int32))
     )  # [n_tiles, c_max, F]
     flat = partial.reshape(n_tiles * c_max, -1)
-    return _apply_stage(flat, stage.combine)
+    return _apply_combine(flat, stage.combine)
 
 
 def _apply_tiled_multihot_batched(x, stage: TiledStageDev):
@@ -204,7 +240,7 @@ def _apply_tiled_multihot_batched(x, stage: TiledStageDev):
         m, xt, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [n_tiles, c_max, F]
     flat = partial.reshape(n_tiles * c_max, -1)
-    return _apply_stage(flat, stage.combine)
+    return _apply_combine(flat, stage.combine)
 
 
 def _apply_pallas(x, pstage: PallasStageDev):
@@ -236,7 +272,37 @@ def _apply_tiled_multihot_precomp(x, stage: TiledStageDev):
         m, xt, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # [n_tiles, c_max, F]
     flat = partial.reshape(n_tiles * c_max, -1)
-    return _apply_stage(flat, stage.combine)
+    return _apply_combine(flat, stage.combine)
+
+
+_ALIGNED_BLOCK = 128  # source block granularity; planner.ALIGNED_BLOCK
+
+
+def _apply_aligned(x, st: AlignedStageDev):
+    """out[s] = Σ_{v∈seg s} x[v] with ZERO per-nnz/per-segment gathers:
+    band matmul over block-gathered windows + a small spill matmul.
+    See :class:`hypergef_tpu.sparse.planner.AlignedStage`."""
+    f = x.shape[1]
+    n_groups, wb = st.win_block.shape
+    pad = (-st.num_inputs) % _ALIGNED_BLOCK
+    xb = jnp.pad(x, ((0, pad), (0, 0))).astype(jnp.bfloat16)
+    xb = xb.reshape(-1, _ALIGNED_BLOCK, f)  # [nb, B, F]
+    win = jnp.take(xb, st.win_block.reshape(-1), axis=0)
+    win = win.reshape(n_groups, wb * _ALIGNED_BLOCK, f)
+    out = jax.lax.dot_general(
+        st.b_dense, win, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [n_groups, G, F]
+    spill_w = st.spill_src.shape[1]
+    if spill_w:
+        xz = jnp.pad(x, ((0, 1), (0, 0))).astype(jnp.bfloat16)  # zero row
+        sp = jnp.take(xz, st.spill_src.reshape(-1), axis=0)
+        sp = sp.reshape(n_groups, spill_w, f)
+        out = out + jax.lax.dot_general(
+            st.b_spill, sp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    return out.reshape(n_groups * st.group_rows, f)[: st.num_segments]
 
 
 def _apply_any(x, stage):
@@ -250,6 +316,8 @@ def _apply_any(x, stage):
         return _apply_tiled(x, stage)
     if isinstance(stage, PallasStageDev):
         return _apply_pallas(x, stage)
+    if isinstance(stage, AlignedStageDev):
+        return _apply_aligned(x, stage)
     return _apply_stage(x, stage)
 
 

@@ -92,6 +92,16 @@ def default_candidates(hg) -> list:
     for tr in (128, 256, 512):
         cands.append(("multihot", {"tile_rows": tr}))
         cands.append(("multihot", {"tile_rows": tr, "form": "multihot_precomp"}))
+    from hypergef_tpu.sparse import planner as _pl
+
+    spill = max(
+        _pl.aligned_spill_stats(hg.ht_indptr, hg.ht_indices, hg.num_nodes,
+                                window_blocks=8),
+        _pl.aligned_spill_stats(hg.h_indptr, hg.h_indices, hg.num_edges,
+                                window_blocks=8),
+    )
+    if spill <= 0.3:  # community-sorted graphs only (cheap pre-pass)
+        cands.append(("aligned", {}))
     return cands
 
 
@@ -124,6 +134,9 @@ def _build_plan(hg, backend: str, params: dict):
 
         tree = planner.plan_tree(hg)
         return planner.AggregationPlan(tree=tree, bsr=plan_bsr(hg, reorder=True))
+    if backend == "aligned":
+        return planner.plan_aligned(
+            hg, max_spill=params.get("max_spill", 0.35))
     raise ValueError(backend)
 
 
@@ -150,15 +163,35 @@ def sweep(
     for backend, params in candidates or default_candidates(hg):
         try:
             plan = _build_plan(hg, backend, params)
+            # tree-family plans ride as jit OPERANDS (devplan pytrees):
+            # closure constants above ~200 MB are rejected by the
+            # tunneled remote-compile service (HTTP 413)
+            if backend in ("tree", "multihot", "pallas_sparse", "aligned"):
+                pdev = plan.as_device()
+            elif backend == "bsr":
+                pdev = plan.bsr.as_device()
+            else:
+                pdev = None
 
-            def step(xv):
-                y = fused.hgnn_aggregate(
-                    hgd, xv, None, first_aggr, plan=plan, backend=backend
-                )
-                # shape-preserving chaining: fold y back into x's shape
-                return xv + 1e-30 * jnp.sum(y)
+            if pdev is not None:
+                def step(xv, hgd_, pd):
+                    y = fused.hgnn_aggregate(
+                        hgd_, xv, None, first_aggr, plan=pd, backend=backend
+                    )
+                    # shape-preserving chaining: fold y back into x's shape
+                    return xv + 1e-30 * jnp.sum(y)
 
-            t = device_time_per_iter(step, x, iters=iters)
+                operands = (hgd, pdev)
+            else:
+                def step(xv, hgd_):
+                    y = fused.hgnn_aggregate(
+                        hgd_, xv, None, first_aggr, plan=plan, backend=backend
+                    )
+                    return xv + 1e-30 * jnp.sum(y)
+
+                operands = (hgd,)
+
+            t = device_time_per_iter(step, x, iters=iters, operands=operands)
             results.append(TuneResult(backend, params, t["per_iter_s"]))
             if verbose:
                 print(
@@ -249,12 +282,21 @@ def autotune_plan(
         plan.preferred_backend = "tree"
         return plan
     if best.backend == "multihot":
-        plan = planner.plan_aggregation(
+        plan = planner.plan_aggregation(hg, with_multihot=False)
+        plan.multihot = planner.plan_multihot(
             hg,
-            with_multihot=True,
-            multihot_tile_rows=best.params.get("tile_rows", 256),
+            tile_rows=best.params.get("tile_rows", 256),
+            ngs=best.params.get("ngs", 8),
+            form=best.params.get("form", "multihot"),
         )
         plan.preferred_backend = "multihot"
+        return plan
+    if best.backend == "aligned":
+        plan = planner.plan_aggregation(hg, with_multihot=False)
+        if plan.aligned is None:
+            plan.aligned = planner.plan_aligned(
+                hg, max_spill=best.params.get("max_spill", 0.35))
+        plan.preferred_backend = "aligned"
         return plan
     plan = planner.plan_aggregation(hg)
     plan.preferred_backend = best.backend

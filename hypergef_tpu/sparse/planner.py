@@ -255,6 +255,20 @@ class TreePlan:
     def _stage_device(st):
         import jax.numpy as jnp
 
+        if isinstance(st, AlignedStage):
+            from hypergef_tpu.ops.tree import AlignedStageDev
+
+            return AlignedStageDev(
+                b_dense=jnp.asarray(st.b_dense, dtype=jnp.bfloat16),
+                win_block=jnp.asarray(st.win_block),
+                spill_src=jnp.asarray(st.spill_src),
+                b_spill=jnp.asarray(st.b_spill, dtype=jnp.bfloat16),
+                counts=jnp.asarray(st.counts),
+                num_inputs=st.num_inputs,
+                num_segments=st.num_segments,
+                group_rows=st.group_rows,
+                window_blocks=st.window_blocks,
+            )
         if isinstance(st, TiledStage):
             from hypergef_tpu.ops.tree import TiledStageDev
 
@@ -399,6 +413,7 @@ class AggregationPlan:
     precomp: Optional[DensePrecomp] = None
     multihot: Optional["TreePlan"] = None  # multihot-MXU TreePlan
     pallas_sparse: Optional["TreePlan"] = None  # pallas-level-0 TreePlan
+    aligned: Optional["TreePlan"] = None  # segment-aligned banded TreePlan
     preferred_backend: str = "tree"
 
 
@@ -485,6 +500,19 @@ def plan_aggregation(
         # (2·N·E): i.e. N ≲ 2E.  Graphs with few giant hyperedges
         # (20news-like, N ≫ E) stay on the dense two-stage path.
         preferred = "precomp"
+    aligned = None
+    if dense is None and preferred in ("tree", "bsr"):
+        # community-sorted graphs beyond the dense regime: the aligned
+        # banded form replaces ALL per-nnz gathers with streamed band
+        # matmuls (measured 3.4× the tree at 20% spill on the SBM-60k
+        # workload, TPU v5e; experiments/results/clustered_r2.csv).
+        # aligned_spill_stats is a cheap host pre-pass — only build when
+        # the graph's ordering supports it.
+        try:
+            aligned = plan_aligned(hg)
+            preferred = "aligned"
+        except (ValueError, MemoryError):
+            aligned = None  # not community-sorted: spill too high
     multihot = None
     if with_multihot or (
         with_multihot is None and dense is None and preferred == "tree"
@@ -502,7 +530,7 @@ def plan_aggregation(
     tile = plan_tiles(hg) if with_tile else None
     return AggregationPlan(
         tree=tree, dense=dense, tile=tile, bsr=bsr, precomp=precomp,
-        multihot=multihot, preferred_backend=preferred,
+        multihot=multihot, aligned=aligned, preferred_backend=preferred,
     )
 
 
@@ -552,9 +580,20 @@ def build_tiled_tree(
     tile_rows: int = 16384,
     form: str = "gather",
     pad_limit: int = 1 << 26,
+    combine_form: str = "tree",
+    combine_tile_rows: int = 256,
 ) -> TiledStage:
     """Build a stage whose level-0 chunks are cut at source-tile
     boundaries and grouped per tile.
+
+    ``combine_form``: "tree" (plain gather tree over the flat partials)
+    or a multihot form — then the combine is a NESTED tiled stage whose
+    level 0 is itself a multihot-MXU matmul over partial tiles.  On
+    clustered graphs each segment's chunks are near-contiguous in flat
+    position, so the nested stage has fragmentation ≈ 1 and replaces the
+    combine's ~C random gathers (measured the dominant cost once level 0
+    is a matmul: 339–915 µs vs 3–62 µs on pubmed shapes) with streaming
+    MXU work.
 
     Raises ``MemoryError`` when the padded [n_tiles, c_max, ngs] table
     would exceed ``pad_limit`` entries (skewed per-tile chunk counts pad
@@ -620,9 +659,19 @@ def build_tiled_tree(
         mask = np.zeros((n_tiles, 1, ngs), dtype=np.float32)
         comb_indices = np.zeros(0, dtype=np.int32)
         comb_indptr = np.zeros(num_rows + 1, dtype=np.int64)
-    combine = build_tree(
-        comb_indptr, comb_indices, n_tiles * c_max, ngs=4, fan=fan
-    )
+    if combine_form == "tree":
+        combine = build_tree(
+            comb_indptr, comb_indices, n_tiles * c_max, ngs=4, fan=fan
+        )
+    else:
+        # nested multihot combine (one level of nesting: its own combine
+        # is a plain tree over the per-segment tile partials, fan ≈
+        # tiles-touched-per-segment — ~1 on clustered graphs)
+        combine = build_tiled_tree(
+            comb_indptr, comb_indices, n_tiles * c_max, ngs=4, fan=fan,
+            tile_rows=combine_tile_rows, form=combine_form,
+            pad_limit=pad_limit, combine_form="tree",
+        )
     return TiledStage(
         gidx=gidx,
         mask=mask,
@@ -665,6 +714,7 @@ def plan_multihot(
     fan: int = 8,
     form: str = "multihot",
     precomp_limit_bytes: int = MULTIHOT_PRECOMP_LIMIT,
+    combine: str = "auto",
 ) -> TreePlan:
     """Multihot-MXU plan: both aggregation directions as tile-bucketed
     stages whose level 0 is a multihot bf16 matmul per source tile.
@@ -677,11 +727,17 @@ def plan_multihot(
     ``ngs`` on uniform-random ones (measured: pubmed-shape stage 160 µs
     clustered vs 514 µs random on v5e; see scripts/probe_r2_gather.py).
     """
+    if combine == "auto":
+        # the nested-MXU combine pays off exactly when level 0 does
+        # (precomp form); the compare forms keep the plain gather tree
+        combine = "multihot_precomp" if form == "multihot_precomp" else "tree"
     e_stage = build_tiled_tree(
-        hg.ht_indptr, hg.ht_indices, hg.num_nodes, ngs, fan, tile_rows, form
+        hg.ht_indptr, hg.ht_indices, hg.num_nodes, ngs, fan, tile_rows, form,
+        combine_form=combine,
     )
     v_stage = build_tiled_tree(
-        hg.h_indptr, hg.h_indices, hg.num_edges, ngs, fan, tile_rows, form
+        hg.h_indptr, hg.h_indices, hg.num_edges, ngs, fan, tile_rows, form,
+        combine_form=combine,
     )
     if form == "multihot_precomp":
         # downgrade per stage when the dense blocks would not fit
@@ -693,6 +749,211 @@ def plan_multihot(
 
         e_stage = _fit(e_stage)
         v_stage = _fit(v_stage)
+    plan = TreePlan(
+        edge_stage=e_stage,
+        vertex_stage=v_stage,
+        num_nodes=hg.num_nodes,
+        num_edges=hg.num_edges,
+    )
+    plan.device()
+    return plan
+
+
+class AlignedStage(NamedTuple):
+    """Segment-aligned banded-multihot stage — the gather-free fast path
+    for community-sorted graphs.
+
+    The bottleneck of every gather-based stage is ~4 ns/row random-row
+    latency (measured; sorted indices are NO faster — probe 2026-08-17),
+    and of the tiled multihot stages the per-segment combine/final
+    gathers.  This form removes ALL per-nnz and per-segment gathers:
+
+    * output rows are the segments **in order** — group g computes
+      segments [g·G, (g+1)·G) directly, so the result is a reshape+slice,
+      no final per-segment map;
+    * each group reads a contiguous **window** of ``wb`` 128-row source
+      blocks (one small block-gather of n_groups·wb block rows — 16 KB+
+      rows amortize the latency) and multiplies by a dense 0/1 band
+      matrix ``b_dense[g] ∈ [G, wb·128]`` on the MXU;
+    * the few entries outside their group's window ("spill": noise
+      members, community-boundary crossings) go through one gather of
+      spill rows + a second small multihot matmul.
+
+    Cost ∝ streamed bytes (B + spill tables) + spill gathers — on a
+    community-sorted graph with s% spill this is ~2·E·W bytes + s·nnz
+    gathers, beating the tree by ~an order of magnitude.  On unsorted /
+    uniform-random graphs spill → 100%: plan_aligned raises unless
+    ``allow_spill_heavy``.  Reference semantics: the same fused two-stage
+    aggregation as ``hgnnaggr_cuda.cu:14-47``; the banded layout is the
+    TPU answer to its shared-memory neighbor-group reuse.
+    """
+
+    b_dense: np.ndarray  # [n_groups, G, W] f32 0/1 (device bf16)
+    win_block: np.ndarray  # [n_groups, wb] int32 — source block ids
+    spill_src: np.ndarray  # [n_groups, spill_w] int32 (num_inputs = zero row)
+    b_spill: np.ndarray  # [n_groups, G, spill_w] f32
+    counts: np.ndarray  # [num_segments] f32 — members per segment
+    num_inputs: int
+    num_segments: int
+    group_rows: int  # G
+    window_blocks: int  # wb
+
+    @property
+    def spill_fraction(self) -> float:
+        total = float(self.b_dense.sum() + self.b_spill.sum())
+        return float(self.b_spill.sum()) / max(total, 1.0)
+
+
+ALIGNED_BLOCK = 128  # source block granularity (gather rows of 128·F)
+
+
+def _aligned_windows(grp, blk, n_groups, nb, wb):
+    """Per-group window start block: median member block, clamped."""
+    o = np.zeros(n_groups, dtype=np.int64)
+    order = np.argsort(grp, kind="stable")
+    gs, bs = grp[order], blk[order]
+    starts = np.searchsorted(gs, np.arange(n_groups))
+    ends = np.searchsorted(gs, np.arange(n_groups), side="right")
+    for g in range(n_groups):
+        lo, hi = starts[g], ends[g]
+        if hi > lo:
+            med = int(np.median(bs[lo:hi]))
+            o[g] = min(max(med - wb // 2, 0), max(nb - wb, 0))
+    return o
+
+
+def aligned_spill_stats(indptr, indices, num_inputs, group_rows=128,
+                        window_blocks=4):
+    """Cheap pre-pass: spill fraction this stage would have (no tables)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    S = len(indptr) - 1
+    if indices.size == 0 or S == 0:
+        return 0.0
+    n_groups = -(-S // group_rows)
+    nb = max(-(-num_inputs // ALIGNED_BLOCK), window_blocks)
+    seg = np.repeat(np.arange(S, dtype=np.int64), np.diff(indptr))
+    grp = seg // group_rows
+    blk = indices // ALIGNED_BLOCK
+    o = _aligned_windows(grp, blk, n_groups, nb, window_blocks)
+    og = o[grp]
+    spill = (blk < og) | (blk >= og + window_blocks)
+    return float(spill.mean())
+
+
+def build_aligned_stage(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_inputs: int,
+    group_rows: int = 128,
+    window_blocks: int = 4,
+    spill_limit: int = 1 << 24,
+) -> AlignedStage:
+    """Build one direction's aligned stage (see :class:`AlignedStage`).
+
+    Raises ``MemoryError`` when the padded spill table would exceed
+    ``spill_limit`` entries (spill-heavy graph — use tree/multihot)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    S = len(indptr) - 1
+    G = group_rows
+    wb = window_blocks
+    W = wb * ALIGNED_BLOCK
+    n_groups = max(-(-S // G), 1)
+    nb = max(-(-num_inputs // ALIGNED_BLOCK), wb)
+    counts = np.diff(indptr).astype(np.float32)
+    if indices.size == 0:
+        return AlignedStage(
+            b_dense=np.zeros((n_groups, G, W), np.float32),
+            win_block=np.zeros((n_groups, wb), np.int32),
+            spill_src=np.zeros((n_groups, 0), np.int32),
+            b_spill=np.zeros((n_groups, G, 0), np.float32),
+            counts=counts, num_inputs=num_inputs, num_segments=S,
+            group_rows=G, window_blocks=wb,
+        )
+    seg = np.repeat(np.arange(S, dtype=np.int64), np.diff(indptr))
+    grp = seg // G
+    row_in_g = seg % G
+    blk = indices // ALIGNED_BLOCK
+    o = _aligned_windows(grp, blk, n_groups, nb, wb)
+    og = o[grp]
+    in_win = (blk >= og) & (blk < og + wb)
+    b_dense = np.zeros((n_groups, G, W), np.float32)
+    np.add.at(
+        b_dense,
+        (grp[in_win], row_in_g[in_win],
+         indices[in_win] - og[in_win] * ALIGNED_BLOCK),
+        1.0,
+    )
+    win_block = (o[:, None] + np.arange(wb)[None, :]).astype(np.int32)
+    # spill: entries outside the window, grouped and slotted per group
+    sp = ~in_win
+    sgrp, srow, ssrc = grp[sp], row_in_g[sp], indices[sp]
+    order = np.argsort(sgrp, kind="stable")
+    sgrp, srow, ssrc = sgrp[order], srow[order], ssrc[order]
+    per_g = np.bincount(sgrp, minlength=n_groups)
+    spill_w = int(per_g.max(initial=0))
+    if n_groups * G * spill_w > spill_limit:
+        raise MemoryError(
+            f"aligned stage spill table {n_groups}x{G}x{spill_w} > "
+            f"{spill_limit} entries (spill-heavy graph; spill fraction "
+            f"{sp.mean():.2f}) — use the tree or multihot backend"
+        )
+    spill_src = np.full((n_groups, max(spill_w, 0)), num_inputs, np.int32)
+    b_spill = np.zeros((n_groups, G, max(spill_w, 0)), np.float32)
+    if spill_w:
+        starts = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(per_g, out=starts[1:])
+        slot = np.arange(len(sgrp), dtype=np.int64) - starts[sgrp]
+        spill_src[sgrp, slot] = ssrc.astype(np.int32)
+        b_spill[sgrp, srow, slot] = 1.0
+    return AlignedStage(
+        b_dense=b_dense, win_block=win_block, spill_src=spill_src,
+        b_spill=b_spill, counts=counts, num_inputs=num_inputs,
+        num_segments=S, group_rows=G, window_blocks=wb,
+    )
+
+
+def plan_aligned(
+    hg,
+    group_rows: int = 128,
+    window_blocks: Optional[int] = None,
+    max_spill: float = 0.25,
+    spill_limit: int = 1 << 24,
+) -> TreePlan:
+    """Two-direction aligned-banded plan (community-sorted graphs).
+
+    ``window_blocks=None`` sweeps (2, 4, 6, 8) per stage and keeps the
+    smallest whose spill fraction is within 1.2× of the best.  Raises
+    ``ValueError`` when either direction would spill more than
+    ``max_spill`` of its entries at wb=8 (graph not sorted/clustered
+    enough — reorder first: :func:`hypergef_tpu.sparse.reorder.community_reorder`)."""
+
+    def choose(indptr, indices, n_in):
+        cands = (2, 4, 6, 8) if window_blocks is None else (window_blocks,)
+        fr = [aligned_spill_stats(indptr, indices, n_in, group_rows, wb)
+              for wb in cands]
+        best = min(fr)
+        if best > max_spill:
+            raise ValueError(
+                f"aligned plan spill fraction {best:.2f} > {max_spill} — "
+                "graph is not community-sorted; run community_reorder first"
+            )
+        for wb, f in zip(cands, fr):
+            if f <= best * 1.2 + 1e-9:
+                return wb
+        return cands[-1]
+
+    wb_e = choose(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
+    wb_v = choose(hg.h_indptr, hg.h_indices, hg.num_edges)
+    e_stage = build_aligned_stage(
+        hg.ht_indptr, hg.ht_indices, hg.num_nodes, group_rows, wb_e,
+        spill_limit,
+    )
+    v_stage = build_aligned_stage(
+        hg.h_indptr, hg.h_indices, hg.num_edges, group_rows, wb_v,
+        spill_limit,
+    )
     plan = TreePlan(
         edge_stage=e_stage,
         vertex_stage=v_stage,

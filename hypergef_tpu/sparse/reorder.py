@@ -80,9 +80,19 @@ def community_order_numpy(hg, iters: int = 8) -> np.ndarray:
     return np.argsort(vlab, kind="stable").astype(np.int32)
 
 
-def community_order(hg, iters: int = 8) -> np.ndarray:
-    """Vertex order (``order[i]`` = old id at new position i), C++ when
-    available, NumPy twin otherwise."""
+def community_order(hg, iters: int = 8, method: str = "labelprop") -> np.ndarray:
+    """Vertex order (``order[i]`` = old id at new position i).
+
+    ``method="labelprop"``: synchronous label propagation — C++ when
+    available, NumPy twin otherwise.  Fast (ms) but floods across noise
+    links on weakly-separated graphs.
+    ``method="coarsen"``: multilevel best-friend star coarsening
+    (:func:`coarsen_order`) — slower (seconds) but recovers planted SBM
+    structure to ground-truth quality (measured aligned-window spill
+    0.073/0.023 vs ground truth 0.070/0.021 on the SBM-60k workload,
+    where labelprop gives 0.088/0.035)."""
+    if method == "coarsen":
+        return coarsen_order(hg)
     from hypergef_tpu.sparse import native
 
     lib = native.community_order_native(hg, iters)
@@ -91,9 +101,126 @@ def community_order(hg, iters: int = 8) -> np.ndarray:
     return community_order_numpy(hg, iters)
 
 
+def _pair_weights(indptr, indices, edge_cap: int = 64):
+    """All ordered intra-hyperedge vertex pairs (u, v) with clique-
+    expansion weight 1/(k-1); hyperedges larger than ``edge_cap`` are
+    skipped (quadratic pair blowup, negligible locality signal)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    k = np.diff(indptr)
+    use = (k >= 2) & (k <= edge_cap)
+    eids = np.nonzero(use)[0]
+    if len(eids) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0)
+    ks = k[eids]
+    starts = indptr[eids]
+    offs = np.repeat(starts, ks) + (
+        np.arange(ks.sum()) - np.repeat(np.cumsum(ks) - ks, ks))
+    mem = indices[offs]  # used edges' members, concatenated
+    seg = np.repeat(np.arange(len(eids)), ks)
+    ku = np.repeat(ks, ks)  # per member: its edge's size
+    u = np.repeat(mem, ku)
+    estart = np.cumsum(ks) - ks
+    base = np.repeat(estart[seg], ku)
+    within = np.arange(len(u)) - np.repeat(np.cumsum(ku) - ku, ku)
+    v = mem[base + within]
+    w = 1.0 / (np.repeat(ku, ku) - 1.0)
+    keep = u != v
+    return u[keep], v[keep], w[keep]
+
+
+def _best_friend(u, v, w, n):
+    """p[x] = argmax_y Σw(x, y) (ties → smallest y); p[x] = x if isolated."""
+    p = np.arange(n, dtype=np.int64)
+    if len(u) == 0:
+        return p
+    order = np.lexsort((v, u))
+    u, v, w = u[order], v[order], w[order]
+    new = np.ones(len(u), bool)
+    new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    idx = np.nonzero(new)[0]
+    uu, vv = u[idx], v[idx]
+    ww = np.add.reduceat(w, idx)
+    order2 = np.lexsort((-ww, uu))  # stable: ties keep smaller v
+    uu2, vv2 = uu[order2], vv[order2]
+    first = np.ones(len(uu2), bool)
+    first[1:] = uu2[1:] != uu2[:-1]
+    p[uu2[first]] = vv2[first]
+    return p
+
+
+def _bf_components(p):
+    """Connected components of the undirected best-friend graph
+    (min-label propagation; component diameters are small — stars and
+    short chains — so this converges in a few vectorized sweeps)."""
+    lab = np.arange(len(p), dtype=np.int64)
+    for _ in range(64):
+        new = lab.copy()
+        np.minimum.at(new, p, lab)
+        new = np.minimum(new, lab[p])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return np.unique(lab, return_inverse=True)[1]
+
+
+def coarsen_order(hg, edge_cap: int = 64, max_levels: int = 40) -> np.ndarray:
+    """Multilevel best-friend star-coarsening vertex order.
+
+    Fresh Rabbit-Order-class design (the reference vendors but never
+    calls rabbit_order.hpp:267-753; incremental-aggregation rationale
+    only — no code shared).  Per level: clique-expansion pair weights →
+    per-vertex best friend → collapse every connected component of the
+    best-friend graph into one supernode (star merging: whole
+    communities collapse at once, no orphan fragments — 1-1 matching was
+    measured to weld fragments across communities) → rebuild the coarse
+    hypergraph.  The final order is the dendrogram leaf order: sort by
+    top-level ancestor, then recursively by each lower level.
+    """
+    indptr = np.asarray(hg.ht_indptr, dtype=np.int64)
+    indices = np.asarray(hg.ht_indices, dtype=np.int64)
+    n = hg.num_nodes
+    parents = []
+    while True:
+        u, v, w = _pair_weights(indptr, indices, edge_cap)
+        comp = _bf_components(_best_friend(u, v, w, n))
+        k = int(comp.max()) + 1 if n else 0
+        parents.append(comp)
+        if k <= 1 or k >= n * 0.95 or len(parents) >= max_levels:
+            n = k
+            break
+        seg = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+        key = seg * np.int64(k) + comp[indices]
+        uk = np.unique(key)
+        cseg, cmem = uk // k, uk % k
+        cnt = np.bincount(cseg, minlength=len(indptr) - 1)
+        sel = (cnt >= 2)[cseg]  # drop collapsed (single-supernode) edges
+        cseg, cmem = cseg[sel], cmem[sel]
+        _, cseg = np.unique(cseg, return_inverse=True)
+        e2 = int(cseg.max()) + 1 if len(cseg) else 0
+        order = np.argsort(cseg, kind="stable")
+        cseg, cmem = cseg[order], cmem[order]
+        indptr = np.zeros(e2 + 1, dtype=np.int64)
+        np.cumsum(np.bincount(cseg, minlength=e2), out=indptr[1:])
+        indices = cmem
+        n = k
+    pos = np.arange(n, dtype=np.int64)
+    for comp in reversed(parents):
+        m = len(comp)
+        order = np.lexsort((np.arange(m), pos[comp]))
+        pos = np.empty(m, dtype=np.int64)
+        pos[order] = np.arange(m)
+    return np.argsort(pos, kind="stable").astype(np.int32)
+
+
 def apply_vertex_order(hg, order: np.ndarray, sort_edges: bool = True):
     """Renumber vertices by ``order`` (and optionally sort hyperedges by
-    mean new member id so contiguous edge ranges align with communities).
+    **median** new member id so contiguous edge ranges align with
+    communities).  Median, not mean: one noise/boundary member must not
+    drag the whole edge out of its community's window — measured on the
+    SBM-60k workload the mean key leaves 26%/19% of entries outside
+    wb=4 aligned windows vs 7%/2% for the median key.
     Returns ``(new_hypergraph, rank)`` with ``rank[old_id] = new_id``."""
     from hypergef_tpu.sparse.hypergraph import Hypergraph
 
@@ -103,11 +230,13 @@ def apply_vertex_order(hg, order: np.ndarray, sort_edges: bool = True):
     new_vertex = rank[np.asarray(hg.ht_indices, dtype=np.int64)]
     seg = np.repeat(np.arange(e, dtype=np.int64), np.diff(hg.ht_indptr))
     if sort_edges and len(new_vertex):
-        sums = np.zeros(e)
-        cnts = np.zeros(e)
-        np.add.at(sums, seg, new_vertex)
-        np.add.at(cnts, seg, 1.0)
-        key = np.where(cnts > 0, sums / np.maximum(cnts, 1.0), 0.0)
+        o = np.lexsort((new_vertex, seg))
+        sv, ss = new_vertex[o], seg[o]
+        cnt = np.bincount(ss, minlength=e)
+        start = np.cumsum(cnt) - cnt
+        key = np.zeros(e, dtype=np.int64)
+        nz = cnt > 0
+        key[nz] = sv[(start + cnt // 2)[nz]]
         eorder = np.argsort(key, kind="stable")
         erank = np.empty(e, dtype=np.int64)
         erank[eorder] = np.arange(e)
@@ -119,6 +248,10 @@ def apply_vertex_order(hg, order: np.ndarray, sort_edges: bool = True):
     return hg2, rank
 
 
-def community_reorder(hg, iters: int = 8, sort_edges: bool = True):
-    """One-call locality pass: ``(reordered_hg, vertex_rank)``."""
-    return apply_vertex_order(hg, community_order(hg, iters), sort_edges)
+def community_reorder(hg, iters: int = 8, sort_edges: bool = True,
+                      method: str = "coarsen"):
+    """One-call locality pass: ``(reordered_hg, vertex_rank)``.
+    Default method is the multilevel coarsening (ground-truth-quality
+    recovery); pass ``method="labelprop"`` for the fast C++ path."""
+    return apply_vertex_order(hg, community_order(hg, iters, method),
+                              sort_edges)

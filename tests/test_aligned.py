@@ -1,0 +1,140 @@
+"""Segment-aligned banded-multihot backend (backend="aligned"):
+gather-free fused aggregation for community-sorted graphs.
+
+Reference semantics: the same fused two-stage aggregation as the
+reference kernel (hgnnaggr_cuda.cu:14-47); the banded/windowed layout is
+the TPU-native formulation (see planner.AlignedStage docstring).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hypergef_tpu.data.synthetic import random_hypergraph
+from hypergef_tpu.ops import fused, refops
+from hypergef_tpu.sparse import planner
+from hypergef_tpu.sparse.hypergraph import Hypergraph
+from hypergef_tpu.sparse.reorder import apply_vertex_order
+
+from conftest import dense_hgnn_oracle
+
+
+def _community_hg(n_nodes, n_edges, n_comm, avg, noise, seed):
+    rng = np.random.default_rng(seed)
+    comm_of = np.sort(rng.integers(0, n_comm, size=n_nodes))
+    starts = np.searchsorted(comm_of, np.arange(n_comm))
+    ends = np.searchsorted(comm_of, np.arange(n_comm), side="right")
+    vs, es = [], []
+    for e in range(n_edges):
+        c = rng.integers(0, n_comm)
+        lo, hi = starts[c], ends[c]
+        if hi - lo < 2:
+            lo, hi = 0, n_nodes
+        k = max(int(rng.poisson(avg)), 2)
+        members = np.unique(rng.integers(lo, hi, size=k))
+        vs.append(members)
+        es.append(np.full(len(members), e, dtype=np.int64))
+    hg = Hypergraph.from_coo(np.concatenate(vs), np.concatenate(es),
+                             num_nodes=n_nodes, num_edges=n_edges)
+    hg, _ = apply_vertex_order(hg, np.arange(n_nodes), sort_edges=True)
+    return hg
+
+
+@pytest.fixture(scope="module")
+def sorted_hg():
+    return _community_hg(2000, 1600, 25, 5, 0.05, 3)
+
+
+def test_aligned_forward_parity(sorted_hg):
+    hg = sorted_hg
+    hgd = hg.device_data()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(hg.num_nodes, 7)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (hg.num_edges, 1)).astype(np.float32)
+    al = planner.plan_aligned(hg)
+    for aggr in ("sum", "mean"):
+        want = dense_hgnn_oracle(hg, x, w, aggr)
+        got = fused.hgnn_aggregate(
+            hgd, x, jnp.asarray(w), aggr, plan=al.as_device(),
+            backend="aligned",
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2,
+                                   atol=3e-2, err_msg=aggr)
+
+
+def test_aligned_grad_parity(sorted_hg):
+    hg = sorted_hg
+    hgd = hg.device_data()
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(hg.num_nodes, 5)).astype(np.float32)
+    )
+    al = planner.plan_aligned(hg)
+
+    def loss(backend, plan):
+        return lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=plan,
+                                 backend=backend) ** 2
+        )
+
+    got = np.asarray(jax.grad(loss("aligned", al.as_device()))(x))
+    want = np.asarray(jax.grad(loss("xla", None))(x))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_aligned_unignn_parity(sorted_hg):
+    hg = sorted_hg
+    hgd = hg.device_data()
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(hg.num_nodes, 4)).astype(np.float32)
+    )
+    al = planner.plan_aligned(hg)
+    for use_deg in (False, True):
+        want = refops.unignn_aggregate_ref(hgd, x, use_deg)
+        got = fused.unignn_aggregate(hgd, x, use_deg, plan=al.as_device(),
+                                     backend="aligned")
+        # bf16 matmul accumulation: ~7e-3 relative on O(10) magnitudes
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-2, atol=1e-1)
+
+
+def test_aligned_spill_correct_on_random():
+    """Forced aligned build on an (unsorted) random graph: everything
+    lands in the spill path — results must still be exact."""
+    out = random_hypergraph(900, 700, avg_edge_size=4.0, seed=2)
+    hg = out[0] if isinstance(out, tuple) else out
+    e_st = planner.build_aligned_stage(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
+    v_st = planner.build_aligned_stage(hg.h_indptr, hg.h_indices, hg.num_edges)
+    al = planner.TreePlan(edge_stage=e_st, vertex_stage=v_st,
+                          num_nodes=hg.num_nodes, num_edges=hg.num_edges)
+    hgd = hg.device_data()
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(900, 6)).astype(np.float32))
+    want = refops.hgnn_aggregate_ref(hgd, x, None, "sum")
+    got = fused.hgnn_aggregate(hgd, x, None, "sum", plan=al.as_device(),
+                               backend="aligned")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_aligned_refuses_spill_heavy():
+    """A large uniform-random graph cannot be banded: plan_aligned must
+    refuse with guidance rather than build a pathological plan."""
+    out = random_hypergraph(19717, 9000, avg_edge_size=4.3, seed=0)
+    hg = out[0] if isinstance(out, tuple) else out
+    with pytest.raises(ValueError, match="community_reorder"):
+        planner.plan_aligned(hg)
+
+
+def test_aligned_max_falls_back(sorted_hg):
+    """first_aggr='max' cannot run on matmul-form stages — must route to
+    the exact oracle, not crash."""
+    hg = sorted_hg
+    hgd = hg.device_data()
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(hg.num_nodes, 3)).astype(np.float32)
+    )
+    al = planner.plan_aligned(hg)
+    want = refops.hgnn_aggregate_ref(hgd, x, None, "max")
+    got = fused.hgnn_aggregate(hgd, x, None, "max", plan=al, backend="aligned")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

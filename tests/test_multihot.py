@@ -137,3 +137,46 @@ def test_multihot_precomp_downgrade():
                          precomp_limit_bytes=16)
     assert plan.edge_stage.form == "multihot"
     assert plan.vertex_stage.form == "multihot"
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_multihot_nested_combine_parity(case):
+    """Nested multihot-MXU combine (combine="multihot_precomp"): the
+    flat-partial combine runs as a second tiled multihot stage instead
+    of the gather tree — forward + grad must match the oracle."""
+    gen, n, e, kw = CASES[case]
+    out = gen(n, e, seed=500 + case, **kw)
+    hg = out[0] if isinstance(out, tuple) else out
+    hgd = hg.device_data()
+    plan = plan_multihot(hg, tile_rows=64, form="multihot_precomp",
+                         combine="multihot_precomp")
+    from hypergef_tpu.sparse.planner import TiledStage
+
+    assert isinstance(plan.edge_stage.combine, TiledStage)
+    rng = np.random.default_rng(case)
+    x = rng.normal(size=(hg.num_nodes, 5)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (hg.num_edges, 1)).astype(np.float32)
+    for aggr in ("sum", "mean"):
+        want = dense_hgnn_oracle(hg, x, w, aggr)
+        got = fused.hgnn_aggregate(
+            hgd, x, jnp.asarray(w), aggr, plan=plan.as_device(),
+            backend="multihot"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=3e-2, atol=3e-2,
+            err_msg=f"case {case} aggr {aggr}",
+        )
+    g = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=plan.as_device(),
+                                 backend="multihot") ** 2
+        )
+    )(jnp.asarray(x))
+    ref = jax.grad(
+        lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "sum", plan=None,
+                                 backend="xla") ** 2
+        )
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                               rtol=5e-2, atol=5e-2)

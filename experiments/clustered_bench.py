@@ -82,10 +82,16 @@ def main():
     from hypergef_tpu.sparse.bsr import plan_bsr
     from hypergef_tpu.utils.timing import device_time_per_iter
 
-    graphs = [
-        ("sbm", community_hypergraph(args.n, args.e, args.comm, args.avg,
-                                     args.noise, 0)),
-    ]
+    from hypergef_tpu.sparse.reorder import apply_vertex_order
+
+    sbm = community_hypergraph(args.n, args.e, args.comm, args.avg,
+                               args.noise, 0)
+    # align hyperedge numbering with the community-sorted vertex order
+    # (median member id sort) — edge ids are arbitrary for every backend,
+    # and the aligned backend requires segment-sorted edges
+    sbm, _ = apply_vertex_order(sbm, np.arange(sbm.num_nodes),
+                                sort_edges=True)
+    graphs = [("sbm", sbm)]
     if args.also_random:
         graphs.append(
             ("random", random_hypergraph(args.n, args.e,

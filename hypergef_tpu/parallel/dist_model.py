@@ -10,6 +10,7 @@ multi-chip dry-run.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -43,7 +44,7 @@ def make_dist_train_step(
     feature_sharded: bool = False,
     nclass: int = None,
 ):
-    """Returns (jitted_step, tx, forward) for the 2-layer distributed HGNN.
+    """Returns (jitted_step, tx, forward, run_epochs) for the 2-layer distributed HGNN.
 
     step(params, opt_state, x, y, train_mask) -> (params, opt_state, loss)
     When the classifier width is padded for feature-mesh divisibility,
@@ -74,11 +75,30 @@ def make_dist_train_step(
         picked = jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
         return -jnp.sum(picked * train_mask) / jnp.maximum(train_mask.sum(), 1.0)
 
-    @jax.jit
-    def step(params, opt_state, x, y, train_mask):
+    def _step(params, opt_state, x, y, train_mask):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, train_mask)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return step, tx, forward
+    step = jax.jit(_step)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run_epochs(params, opt_state, x, y, train_mask, n):
+        """``n`` chained epochs as ONE jitted program (lax.scan): one
+        dispatch regardless of epoch count.  This is both the idiomatic
+        TPU timing unit (dispatch latency excluded by construction) and
+        the root fix for the simulated CPU mesh's async-queue abort —
+        with a single in-flight program there is no dispatch queue to
+        overflow (round-1 workaround was per-step value fencing)."""
+
+        def body(carry, _):
+            params, opt_state, _ = carry
+            return _step(params, opt_state, x, y, train_mask), None
+
+        init = (params, opt_state, jnp.zeros(()))
+        (params, opt_state, loss), _ = jax.lax.scan(
+            body, init, None, length=n)
+        return params, opt_state, loss
+
+    return step, tx, forward, run_epochs

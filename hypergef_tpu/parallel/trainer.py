@@ -51,7 +51,7 @@ class DistTrainer:
         n_f = mesh.devices.shape[1]
         if nhid % n_f != 0:
             raise ValueError(f"nhid={nhid} must be divisible by the feature-mesh axis ({n_f})")
-        self.step, self.tx, self.forward = make_dist_train_step(
+        self.step, self.tx, self.forward, self.run_epochs = make_dist_train_step(
             mesh, self.plan, self.degV, lr=lr, wd=wd,
             feature_sharded=(n_f > 1), nclass=self.nclass,
         )
@@ -62,31 +62,50 @@ class DistTrainer:
         self.opt_state = self.tx.init(self.params)
 
     def fit(self, train_idx, epochs: int = 100, warmup: int = 10,
-            fence_every: int = 0) -> Dict[str, float]:
-        """``fence_every > 0`` synchronizes every N steps — needed on the
-        simulated CPU mesh, whose async dispatch queue intermittently
-        aborts with many in-flight multi-device programs."""
+            fence_every: int = 0, chained: bool = True) -> Dict[str, float]:
+        """Default (``chained=True``): all epochs run as ONE jitted
+        ``lax.scan`` program — a single dispatch, so dispatch latency is
+        excluded by construction and the simulated CPU mesh's async
+        dispatch queue (which intermittently SIGABRTs with many in-flight
+        multi-device programs — round-1's ``fence_every`` workaround)
+        never holds more than one program.  The first call compiles and
+        serves as warm-up; the second identical call is timed.
+
+        ``chained=False`` restores the per-step dispatch loop
+        (``fence_every > 0`` synchronizes every N steps)."""
         mask = np.zeros(self.x.shape[0], dtype=np.float32)
         mask[np.asarray(train_idx)] = 1.0
         mask = jnp.asarray(mask)
         params, opt_state = self.params, self.opt_state
-        loss = jnp.zeros(())
-        for i in range(warmup):
-            params, opt_state, loss = self.step(
-                params, opt_state, self.x, self.y, mask
+        if chained:
+            params, opt_state, loss = self.run_epochs(
+                params, opt_state, self.x, self.y, mask, n=epochs
             )
-            if fence_every and (i + 1) % fence_every == 0:
-                float(loss)
-        float(loss)  # true device fence (see utils/timing.sync)
-        t0 = time.perf_counter()
-        for i in range(epochs):
-            params, opt_state, loss = self.step(
-                params, opt_state, self.x, self.y, mask
+            float(loss)  # compile + warm-up fence (utils/timing.sync)
+            t0 = time.perf_counter()
+            params, opt_state, loss = self.run_epochs(
+                params, opt_state, self.x, self.y, mask, n=epochs
             )
-            if fence_every and (i + 1) % fence_every == 0:
-                float(loss)
-        float(loss)
-        dt = time.perf_counter() - t0
+            float(loss)
+            dt = time.perf_counter() - t0
+        else:
+            loss = jnp.zeros(())
+            for i in range(warmup):
+                params, opt_state, loss = self.step(
+                    params, opt_state, self.x, self.y, mask
+                )
+                if fence_every and (i + 1) % fence_every == 0:
+                    float(loss)
+            float(loss)  # true device fence (see utils/timing.sync)
+            t0 = time.perf_counter()
+            for i in range(epochs):
+                params, opt_state, loss = self.step(
+                    params, opt_state, self.x, self.y, mask
+                )
+                if fence_every and (i + 1) % fence_every == 0:
+                    float(loss)
+            float(loss)
+            dt = time.perf_counter() - t0
         self.params, self.opt_state = params, opt_state
         return {
             "train_epoch_time_s": dt / max(epochs, 1),

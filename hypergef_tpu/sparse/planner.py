@@ -788,10 +788,10 @@ class AlignedStage(NamedTuple):
     TPU answer to its shared-memory neighbor-group reuse.
     """
 
-    b_dense: np.ndarray  # [n_groups, G, W] f32 0/1 (device bf16)
+    b_dense: np.ndarray  # [n_groups, G, W] int8 counts (device bf16)
     win_block: np.ndarray  # [n_groups, wb] int32 — source block ids
     spill_src: np.ndarray  # [n_groups, spill_w] int32 (num_inputs = zero row)
-    b_spill: np.ndarray  # [n_groups, G, spill_w] f32
+    b_spill: np.ndarray  # [n_groups, G, spill_w] int8
     counts: np.ndarray  # [num_segments] f32 — members per segment
     num_inputs: int
     num_segments: int
@@ -864,10 +864,10 @@ def build_aligned_stage(
     counts = np.diff(indptr).astype(np.float32)
     if indices.size == 0:
         return AlignedStage(
-            b_dense=np.zeros((n_groups, G, W), np.float32),
+            b_dense=np.zeros((n_groups, G, W), np.int8),
             win_block=np.zeros((n_groups, wb), np.int32),
             spill_src=np.zeros((n_groups, 0), np.int32),
-            b_spill=np.zeros((n_groups, G, 0), np.float32),
+            b_spill=np.zeros((n_groups, G, 0), np.int8),
             counts=counts, num_inputs=num_inputs, num_segments=S,
             group_rows=G, window_blocks=wb,
         )
@@ -878,13 +878,18 @@ def build_aligned_stage(
     o = _aligned_windows(grp, blk, n_groups, nb, wb)
     og = o[grp]
     in_win = (blk >= og) & (blk < og + wb)
-    b_dense = np.zeros((n_groups, G, W), np.float32)
-    np.add.at(
-        b_dense,
-        (grp[in_win], row_in_g[in_win],
-         indices[in_win] - og[in_win] * ALIGNED_BLOCK),
-        1.0,
-    )
+    # int8 host tables (entries are small membership multiplicities):
+    # at 10M-nnz scale the band tables are the plan's dominant memory —
+    # f32 would be 4x the bytes.  Dedup-count instead of np.add.at so no
+    # int8 accumulation can wrap.
+    b_dense = np.zeros((n_groups, G, W), np.int8)
+    key = (grp[in_win] * G + row_in_g[in_win]) * W + (
+        indices[in_win] - og[in_win] * ALIGNED_BLOCK)
+    uk, cnts = np.unique(key, return_counts=True)
+    if cnts.size and cnts.max() > 127:
+        raise MemoryError("aligned stage: >127 duplicate incidences in one "
+                          "(segment, source) pair — not an incidence matrix?")
+    b_dense.reshape(-1)[uk] = cnts.astype(np.int8)
     win_block = (o[:, None] + np.arange(wb)[None, :]).astype(np.int32)
     # spill: entries outside the window, grouped and slotted per group
     sp = ~in_win
@@ -900,13 +905,13 @@ def build_aligned_stage(
             f"{sp.mean():.2f}) — use the tree or multihot backend"
         )
     spill_src = np.full((n_groups, max(spill_w, 0)), num_inputs, np.int32)
-    b_spill = np.zeros((n_groups, G, max(spill_w, 0)), np.float32)
+    b_spill = np.zeros((n_groups, G, max(spill_w, 0)), np.int8)
     if spill_w:
         starts = np.zeros(n_groups + 1, dtype=np.int64)
         np.cumsum(per_g, out=starts[1:])
         slot = np.arange(len(sgrp), dtype=np.int64) - starts[sgrp]
         spill_src[sgrp, slot] = ssrc.astype(np.int32)
-        b_spill[sgrp, srow, slot] = 1.0
+        b_spill[sgrp, srow, slot] = 1
     return AlignedStage(
         b_dense=b_dense, win_block=win_block, spill_src=spill_src,
         b_spill=b_spill, counts=counts, num_inputs=num_inputs,

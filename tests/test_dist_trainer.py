@@ -12,9 +12,9 @@ def test_dist_trainer_learns_and_matches_mesh_sizes():
     x = np.random.default_rng(1).normal(size=(500, 16)).astype(np.float32)
     split = rand_train_test_idx(y, seed=2)
     tr = DistTrainer(hg, x, y, nhid=16, n_shards=8)
-    # fence_every=1: the simulated CPU mesh intermittently aborts with
-    # many in-flight multi-device dispatches (XLA CPU queue race)
-    res = tr.fit(split["train"], epochs=60, warmup=2, fence_every=1)
+    # chained (single-dispatch lax.scan) mode: the root fix for the
+    # simulated CPU mesh's async-queue abort — only one in-flight program
+    res = tr.fit(split["train"], epochs=30)
     assert res["n_shards"] == 8
     assert np.isfinite(res["final_loss"])
     acc = tr.evaluate(split)
@@ -26,5 +26,7 @@ def test_dist_trainer_2d_mesh():
     x = np.random.default_rng(2).normal(size=(300, 8)).astype(np.float32)
     split = rand_train_test_idx(y, seed=3)
     tr = DistTrainer(hg, x, y, nhid=8, n_shards=4, n_feature=2)
-    res = tr.fit(split["train"], epochs=20, warmup=1, fence_every=1)
+    # legacy per-step dispatch path kept covered (fenced)
+    res = tr.fit(split["train"], epochs=20, warmup=1, fence_every=1,
+                 chained=False)
     assert np.isfinite(res["final_loss"])

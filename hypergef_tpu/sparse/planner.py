@@ -482,13 +482,19 @@ def plan_aggregation(
         # (docs/KERNEL_NOTES.md round-1 addendum).  Demoted: dense is the
         # auto choice; "pallas" remains available as an explicit backend.
         preferred = "dense"
-    elif with_bsr or with_bsr is None:
-        # too big for dense: consider MXU block-sparse before the tree
+    elif with_bsr:
+        # BSR is DEMOTED from the auto ladder (round-2 negative result,
+        # experiments/results/clustered_r2.csv: 12.3 ms vs tree 4.3 ms
+        # even on the clustered SBM-60k workload under community
+        # reordering — hyperedge blocks never reach break-even fill; the
+        # ground-truth ordering itself yields only ~0.1% fill).  The
+        # aligned banded form is the structured-graph fast path instead.
+        # Explicit opt-in (with_bsr=True) keeps the backend available.
         try:
             from hypergef_tpu.sparse.bsr import plan_bsr
 
             cand = plan_bsr(hg, reorder=True)
-            if with_bsr or cand.fill_fraction() >= bsr_fill_threshold:
+            if cand.fill_fraction() >= bsr_fill_threshold or with_bsr:
                 bsr = cand
                 preferred = "bsr"
         except MemoryError:
@@ -808,17 +814,19 @@ ALIGNED_BLOCK = 128  # source block granularity (gather rows of 128·F)
 
 
 def _aligned_windows(grp, blk, n_groups, nb, wb):
-    """Per-group window start block: median member block, clamped."""
-    o = np.zeros(n_groups, dtype=np.int64)
-    order = np.argsort(grp, kind="stable")
+    """Per-group window start block: median member block, clamped.
+    Fully vectorized (lexsort + middle-element pick per group) — the
+    sweep calls this several times per stage, and at 10M-nnz scale a
+    per-group Python loop costs minutes."""
+    order = np.lexsort((blk, grp))
     gs, bs = grp[order], blk[order]
-    starts = np.searchsorted(gs, np.arange(n_groups))
-    ends = np.searchsorted(gs, np.arange(n_groups), side="right")
-    for g in range(n_groups):
-        lo, hi = starts[g], ends[g]
-        if hi > lo:
-            med = int(np.median(bs[lo:hi]))
-            o[g] = min(max(med - wb // 2, 0), max(nb - wb, 0))
+    cnt = np.bincount(gs, minlength=n_groups)
+    start = np.cumsum(cnt) - cnt
+    med = np.zeros(n_groups, dtype=np.int64)
+    nz = cnt > 0
+    med[nz] = bs[(start + cnt // 2)[nz]]
+    o = np.clip(med - wb // 2, 0, max(nb - wb, 0))
+    o[~nz] = 0
     return o
 
 
@@ -847,12 +855,14 @@ def build_aligned_stage(
     num_inputs: int,
     group_rows: int = 128,
     window_blocks: int = 4,
-    spill_limit: int = 1 << 24,
+    spill_limit: int = 1 << 27,
 ) -> AlignedStage:
     """Build one direction's aligned stage (see :class:`AlignedStage`).
 
     Raises ``MemoryError`` when the padded spill table would exceed
-    ``spill_limit`` entries (spill-heavy graph — use tree/multihot)."""
+    ``spill_limit`` int8 entries (≈ bytes; spill-heavy graph — use
+    tree/multihot).  Default 128M entries: the tables are int8 host /
+    bf16 device, so this caps the device-side spill table at 256 MB."""
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     S = len(indptr) - 1
@@ -924,7 +934,7 @@ def plan_aligned(
     group_rows: int = 128,
     window_blocks: Optional[int] = None,
     max_spill: float = 0.25,
-    spill_limit: int = 1 << 24,
+    spill_limit: int = 1 << 27,
 ) -> TreePlan:
     """Two-direction aligned-banded plan (community-sorted graphs).
 

@@ -258,11 +258,13 @@ class TreePlan:
         if isinstance(st, AlignedStage):
             from hypergef_tpu.ops.tree import AlignedStageDev
 
+            # transfer int8, cast on device: halves the (tunneled)
+            # host->device bytes for multi-GB band tables
             return AlignedStageDev(
-                b_dense=jnp.asarray(st.b_dense, dtype=jnp.bfloat16),
+                b_dense=jnp.asarray(st.b_dense).astype(jnp.bfloat16),
                 win_block=jnp.asarray(st.win_block),
                 spill_src=jnp.asarray(st.spill_src),
-                b_spill=jnp.asarray(st.b_spill, dtype=jnp.bfloat16),
+                b_spill=jnp.asarray(st.b_spill).astype(jnp.bfloat16),
                 counts=jnp.asarray(st.counts),
                 num_inputs=st.num_inputs,
                 num_segments=st.num_segments,
@@ -855,14 +857,14 @@ def build_aligned_stage(
     num_inputs: int,
     group_rows: int = 128,
     window_blocks: int = 4,
-    spill_limit: int = 1 << 27,
+    spill_limit: int = 1 << 28,
 ) -> AlignedStage:
     """Build one direction's aligned stage (see :class:`AlignedStage`).
 
     Raises ``MemoryError`` when the padded spill table would exceed
     ``spill_limit`` int8 entries (≈ bytes; spill-heavy graph — use
     tree/multihot).  Default 128M entries: the tables are int8 host /
-    bf16 device, so this caps the device-side spill table at 256 MB."""
+    bf16 device, so this caps the device-side spill table at 512 MB."""
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     S = len(indptr) - 1
@@ -934,7 +936,7 @@ def plan_aligned(
     group_rows: int = 128,
     window_blocks: Optional[int] = None,
     max_spill: float = 0.25,
-    spill_limit: int = 1 << 27,
+    spill_limit: int = 1 << 28,
 ) -> TreePlan:
     """Two-direction aligned-banded plan (community-sorted graphs).
 

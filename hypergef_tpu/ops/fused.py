@@ -167,7 +167,9 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
     requested backend's E→V sum stage.  Falls back to the nnz oracle
     when no (plain) tree plan is available."""
     from hypergef_tpu.ops import maxops
-    from hypergef_tpu.ops.tree import AlignedStageDev, TiledStageDev
+    from hypergef_tpu.ops.tree import (
+        AlignedStageBDev, AlignedStageDev, TiledStageDev,
+    )
     from hypergef_tpu.ops import tree as tree_ops
 
     tree_plan = getattr(plan, "tree", None) or plan
@@ -175,7 +177,7 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
     if dev is None:
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
     e_stage, v_stage = tree_plan.device()
-    if isinstance(e_stage, (TiledStageDev, AlignedStageDev)):
+    if isinstance(e_stage, (TiledStageDev, AlignedStageDev, AlignedStageBDev)):
         # max needs the argmax-carrying plain-tree levels; matmul-form
         # stages cannot express it — route to the exact oracle path
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")

@@ -89,6 +89,55 @@ jax.tree_util.register_dataclass(
 
 
 @dataclasses.dataclass(frozen=True)
+class AlignedBucketDev:
+    """Device twin of :class:`planner.AlignedBucket` (tables int8 — cast
+    to bf16 inside the apply so XLA fuses the convert into the dot)."""
+
+    b_dense: "object"  # [ng_b, G, W] int8
+    win_block: "object"  # [ng_b, wb] int32
+
+
+jax.tree_util.register_dataclass(
+    AlignedBucketDev, data_fields=["b_dense", "win_block"], meta_fields=[]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignedSpillDev:
+    """Device twin of :class:`planner.AlignedSpill`."""
+
+    b_spill: "object"  # [m_b, G, sw] int8
+    spill_src: "object"  # [m_b, sw] int32
+
+
+jax.tree_util.register_dataclass(
+    AlignedSpillDev, data_fields=["b_spill", "spill_src"], meta_fields=[]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignedStageBDev:
+    """Device bundle for the bucketed aligned stage
+    (:class:`hypergef_tpu.sparse.planner.AlignedStageB`)."""
+
+    buckets: tuple  # of AlignedBucketDev
+    spills: tuple  # of AlignedSpillDev
+    base_slot: "object"  # [n_groups] int32
+    spill_slot: "object"  # [n_groups] int32
+    counts: "object"  # [num_segments] f32
+    num_inputs: int = 0
+    num_segments: int = 0
+    group_rows: int = 128
+
+
+jax.tree_util.register_dataclass(
+    AlignedStageBDev,
+    data_fields=["buckets", "spills", "base_slot", "spill_slot", "counts"],
+    meta_fields=["num_inputs", "num_segments", "group_rows"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class PallasStageDev:
     """Plain tree stage whose level 0 runs as a fused Pallas kernel
     (:mod:`hypergef_tpu.ops.pallas_sparse`): in-kernel row gather +
@@ -105,7 +154,7 @@ jax.tree_util.register_dataclass(
 
 
 def stage_counts(stage):
-    if isinstance(stage, (TiledStageDev, AlignedStageDev)):
+    if isinstance(stage, (TiledStageDev, AlignedStageDev, AlignedStageBDev)):
         return stage.counts
     if isinstance(stage, PallasStageDev):
         return stage.stage[3]
@@ -290,7 +339,7 @@ def _apply_aligned(x, st: AlignedStageDev):
     win = jnp.take(xb, st.win_block.reshape(-1), axis=0)
     win = win.reshape(n_groups, wb * _ALIGNED_BLOCK, f)
     out = jax.lax.dot_general(
-        st.b_dense, win, (((2,), (1,)), ((0,), (0,))),
+        st.b_dense.astype(jnp.bfloat16), win, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # [n_groups, G, F]
     spill_w = st.spill_src.shape[1]
@@ -299,10 +348,49 @@ def _apply_aligned(x, st: AlignedStageDev):
         sp = jnp.take(xz, st.spill_src.reshape(-1), axis=0)
         sp = sp.reshape(n_groups, spill_w, f)
         out = out + jax.lax.dot_general(
-            st.b_spill, sp, (((2,), (1,)), ((0,), (0,))),
+            st.b_spill.astype(jnp.bfloat16), sp, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
     return out.reshape(n_groups * st.group_rows, f)[: st.num_segments]
+
+
+def _apply_aligned_b(x, st: AlignedStageBDev):
+    """Bucketed aligned apply: one band matmul per width bucket + one
+    small matmul per spill bucket, assembled by two block-granular
+    ([G, F]-row) gathers.  Tables ride int8 and cast to bf16 at the dot
+    operand (fused convert — half the streamed band bytes)."""
+    f = x.shape[1]
+    g_rows = st.group_rows
+    pad = (-st.num_inputs) % _ALIGNED_BLOCK
+    xb = jnp.pad(x, ((0, pad), (0, 0))).astype(jnp.bfloat16)
+    xb = xb.reshape(-1, _ALIGNED_BLOCK, f)  # [nb, B, F]
+    outs = []
+    for bk in st.buckets:
+        ng_b, wb = bk.win_block.shape
+        win = jnp.take(xb, bk.win_block.reshape(-1), axis=0)
+        win = win.reshape(ng_b, wb * _ALIGNED_BLOCK, f)
+        outs.append(jax.lax.dot_general(
+            bk.b_dense.astype(jnp.bfloat16), win, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))  # [ng_b, G, F]
+    cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    base = jnp.take(cat, st.base_slot, axis=0)  # [n_groups, G, F]
+    if st.spills:
+        xz = jnp.pad(x, ((0, 1), (0, 0))).astype(jnp.bfloat16)  # zero row
+        souts = []
+        for sp in st.spills:
+            m_b, sw = sp.spill_src.shape
+            rows = jnp.take(xz, sp.spill_src.reshape(-1), axis=0)
+            rows = rows.reshape(m_b, sw, f)
+            souts.append(jax.lax.dot_general(
+                sp.b_spill.astype(jnp.bfloat16), rows,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))
+        souts.append(jnp.zeros((1, g_rows, f), jnp.float32))
+        scat = jnp.concatenate(souts, axis=0)
+        base = base + jnp.take(scat, st.spill_slot, axis=0)
+    return base.reshape(-1, f)[: st.num_segments]
 
 
 def _apply_any(x, stage):
@@ -318,6 +406,8 @@ def _apply_any(x, stage):
         return _apply_pallas(x, stage)
     if isinstance(stage, AlignedStageDev):
         return _apply_aligned(x, stage)
+    if isinstance(stage, AlignedStageBDev):
+        return _apply_aligned_b(x, stage)
     return _apply_stage(x, stage)
 
 

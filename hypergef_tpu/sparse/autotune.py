@@ -79,6 +79,7 @@ def default_candidates(hg) -> list:
     aggr_proto.cu:72-80, become the ngs/tile_rows grid here)."""
     cands = [
         ("cumsum", {}),
+        ("tree", {"ngs": 2}),
         ("tree", {"ngs": 4}),
         ("tree", {"ngs": 8}),
         ("tree", {"ngs": 16}),

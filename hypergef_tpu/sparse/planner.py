@@ -112,7 +112,7 @@ def build_ell(
 
 def choose_ngs(
     row_len: np.ndarray,
-    min_ngs: int = 8,
+    min_ngs: int = 2,
     max_ngs: int = 512,
     chunk_overhead: float = 8.0,
     step: int = 8,
@@ -120,17 +120,22 @@ def choose_ngs(
     """Analytic replacement for the reference's hand-tuned per-dataset
     ``partition_dict`` (``hypergraph.py:74-76``).
 
-    Minimizes a simple cost model over sublane-aligned candidates:
-    ``padded_slots + chunk_overhead * num_chunks`` — padded slots model
-    wasted VPU lanes/gather work, the per-chunk constant models segment
-    bookkeeping.  TPU tiles are static, so candidates are multiples of 8
-    (f32 sublane count).
+    Minimizes a simple cost model: ``padded_slots + chunk_overhead *
+    num_chunks`` — padded slots model wasted gather work (each padded
+    slot is a real row gather at level 0), the per-chunk constant models
+    the combine-tree / segment bookkeeping.  Candidates are multiples of
+    8 (f32 sublane count) plus {2, 4}: low-average-degree graphs
+    (e.g. citation hypergraphs, deg ≈ 4.3) pay ~1.9× extra gathers when
+    padded to 8 — the dominant cost in the gather-latency-bound random
+    regime (docs/KERNEL_NOTES.md).
     """
     row_len = np.asarray(row_len, dtype=np.int64)
     if row_len.size == 0:
         return min_ngs
-    best, best_cost = min_ngs, np.inf
-    for ngs in range(min_ngs, max_ngs + 1, step):
+    candidates = [c for c in (2, 4) if c >= min_ngs]
+    candidates += list(range(max(min_ngs, 8), max_ngs + 1, step))
+    best, best_cost = candidates[0], np.inf
+    for ngs in candidates:
         chunks = -(-row_len // ngs)
         cost = float((chunks * ngs).sum()) + chunk_overhead * float(chunks.sum())
         if cost < best_cost:
@@ -255,6 +260,36 @@ class TreePlan:
     def _stage_device(st):
         import jax.numpy as jnp
 
+        if isinstance(st, AlignedStageB):
+            from hypergef_tpu.ops.tree import (
+                AlignedBucketDev, AlignedSpillDev, AlignedStageBDev,
+            )
+
+            # tables stay int8 on DEVICE too — the cast to bf16 happens
+            # inside the jitted apply, where XLA fuses the convert into
+            # the dot operand read (half the streamed HBM band bytes)
+            return AlignedStageBDev(
+                buckets=tuple(
+                    AlignedBucketDev(
+                        b_dense=jnp.asarray(b.b_dense),
+                        win_block=jnp.asarray(b.win_block),
+                    )
+                    for b in st.buckets
+                ),
+                spills=tuple(
+                    AlignedSpillDev(
+                        b_spill=jnp.asarray(s.b_spill),
+                        spill_src=jnp.asarray(s.spill_src),
+                    )
+                    for s in st.spills
+                ),
+                base_slot=jnp.asarray(st.base_slot),
+                spill_slot=jnp.asarray(st.spill_slot),
+                counts=jnp.asarray(st.counts),
+                num_inputs=st.num_inputs,
+                num_segments=st.num_segments,
+                group_rows=st.group_rows,
+            )
         if isinstance(st, AlignedStage):
             from hypergef_tpu.ops.tree import AlignedStageDev
 
@@ -458,6 +493,7 @@ def plan_aggregation(
     with_bsr: Optional[bool] = None,
     with_precomp: bool = True,
     with_multihot: Optional[bool] = None,
+    with_aligned: bool = True,
     bsr_fill_threshold: float = 0.02,
     multihot_tile_rows: int = 256,
     ngs: Optional[int] = None,
@@ -509,7 +545,7 @@ def plan_aggregation(
         # (20news-like, N ≫ E) stay on the dense two-stage path.
         preferred = "precomp"
     aligned = None
-    if dense is None and preferred in ("tree", "bsr"):
+    if with_aligned and dense is None and preferred in ("tree", "bsr"):
         # community-sorted graphs beyond the dense regime: the aligned
         # banded form replaces ALL per-nnz gathers with streamed band
         # matmuls (measured 3.4× the tree at 20% spill on the SBM-60k
@@ -937,14 +973,32 @@ def plan_aligned(
     window_blocks: Optional[int] = None,
     max_spill: float = 0.25,
     spill_limit: int = 1 << 28,
+    form: str = "bucketed",
+    feat_bytes: int = 64,
 ) -> TreePlan:
     """Two-direction aligned-banded plan (community-sorted graphs).
 
-    ``window_blocks=None`` sweeps (2, 4, 6, 8) per stage and keeps the
-    smallest whose spill fraction is within 1.2× of the best.  Raises
-    ``ValueError`` when either direction would spill more than
-    ``max_spill`` of its entries at wb=8 (graph not sorted/clustered
-    enough — reorder first: :func:`hypergef_tpu.sparse.reorder.community_reorder`)."""
+    ``form="bucketed"`` (default) builds :class:`AlignedStageB`: per-group
+    cost-optimal window widths, bucketed matmuls, spill tables only for
+    spilling groups.  ``form="uniform"`` builds the round-2 original
+    :class:`AlignedStage`; there ``window_blocks=None`` sweeps (2, 4, 6, 8)
+    per stage and keeps the smallest whose spill fraction is within 1.2×
+    of the best.  Raises ``ValueError`` when either direction would spill
+    more than ``max_spill`` of its entries at wb=8 (graph not
+    sorted/clustered enough — reorder first:
+    :func:`hypergef_tpu.sparse.reorder.community_reorder`)."""
+
+    def feasibility(indptr, indices, n_in):
+        # conservative pre-check with the median-window heuristic: the
+        # bucketed per-group optimal windows only ever spill less
+        fr = aligned_spill_stats(indptr, indices, n_in, group_rows,
+                                 min(window_blocks or 8, 8))
+        if fr > max_spill:
+            raise ValueError(
+                f"aligned plan spill fraction {fr:.2f} > {max_spill} — "
+                "graph is not community-sorted; run community_reorder first"
+            )
+        return fr
 
     def choose(indptr, indices, n_in):
         cands = (2, 4, 6, 8) if window_blocks is None else (window_blocks,)
@@ -961,16 +1015,32 @@ def plan_aligned(
                 return wb
         return cands[-1]
 
-    wb_e = choose(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
-    wb_v = choose(hg.h_indptr, hg.h_indices, hg.num_edges)
-    e_stage = build_aligned_stage(
-        hg.ht_indptr, hg.ht_indices, hg.num_nodes, group_rows, wb_e,
-        spill_limit,
-    )
-    v_stage = build_aligned_stage(
-        hg.h_indptr, hg.h_indices, hg.num_edges, group_rows, wb_v,
-        spill_limit,
-    )
+    if form == "bucketed":
+        feasibility(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
+        feasibility(hg.h_indptr, hg.h_indices, hg.num_edges)
+        e_stage = build_aligned_stage_bucketed(
+            hg.ht_indptr, hg.ht_indices, hg.num_nodes, group_rows,
+            max_width=window_blocks or 8, feat_bytes=feat_bytes,
+            spill_limit=spill_limit,
+        )
+        v_stage = build_aligned_stage_bucketed(
+            hg.h_indptr, hg.h_indices, hg.num_edges, group_rows,
+            max_width=window_blocks or 8, feat_bytes=feat_bytes,
+            spill_limit=spill_limit,
+        )
+    elif form == "uniform":
+        wb_e = choose(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
+        wb_v = choose(hg.h_indptr, hg.h_indices, hg.num_edges)
+        e_stage = build_aligned_stage(
+            hg.ht_indptr, hg.ht_indices, hg.num_nodes, group_rows, wb_e,
+            spill_limit,
+        )
+        v_stage = build_aligned_stage(
+            hg.h_indptr, hg.h_indices, hg.num_edges, group_rows, wb_v,
+            spill_limit,
+        )
+    else:
+        raise ValueError(f"plan_aligned form must be bucketed|uniform, got {form!r}")
     plan = TreePlan(
         edge_stage=e_stage,
         vertex_stage=v_stage,
@@ -979,6 +1049,281 @@ def plan_aligned(
     )
     plan.device()
     return plan
+
+
+class AlignedBucket(NamedTuple):
+    """One window-width bucket of a bucketed aligned stage: the groups
+    whose modeled-cost-optimal window is ``width`` blocks wide."""
+
+    b_dense: np.ndarray  # [ng_b, G, width*128] int8 band tables
+    win_block: np.ndarray  # [ng_b, width] int32 source block ids
+    group_ids: np.ndarray  # [ng_b] int32 global group ids (sorted)
+
+
+class AlignedSpill(NamedTuple):
+    """One spill-width bucket: groups with similar out-of-window entry
+    counts share a padded (gather + small multihot matmul) table."""
+
+    b_spill: np.ndarray  # [m_b, G, sw] int8
+    spill_src: np.ndarray  # [m_b, sw] int32 (num_inputs = zero row)
+    group_ids: np.ndarray  # [m_b] int32
+
+
+class AlignedStageB(NamedTuple):
+    """Bucketed aligned banded-multihot stage (round-2 efficiency form).
+
+    Same math as :class:`AlignedStage` but each group pays only for the
+    window width *it* needs: groups are bucketed by a per-group
+    cost-model-optimal (offset, width) — band bytes per extra block
+    (~G·128 int8 + 128·F window rows) vs bytes per spill entry (~G int8
+    band column + one gathered row) — instead of every group streaming
+    the global max width.  Spill tables likewise include only spilling
+    groups, bucketed by power-of-two spill width (the uniform form pads
+    every group to the global max spill count; measured ~0.2% occupancy
+    on SBM-60k).  Output assembly is two block-granular gathers
+    ([G, F]-row permutation + padded spill slot map) — no scatter.
+    """
+
+    buckets: tuple  # of AlignedBucket
+    spills: tuple  # of AlignedSpill
+    base_slot: np.ndarray  # [n_groups] int32 — row of group g in concat(bucket outs)
+    spill_slot: np.ndarray  # [n_groups] int32 — row in concat(spill outs), m_total = zero
+    counts: np.ndarray  # [num_segments] f32
+    num_inputs: int
+    num_segments: int
+    group_rows: int
+
+    @property
+    def spill_fraction(self) -> float:
+        dense = sum(float(b.b_dense.sum()) for b in self.buckets)
+        spill = sum(float(s.b_spill.sum()) for s in self.spills)
+        return spill / max(dense + spill, 1.0)
+
+    @property
+    def window_blocks(self):
+        """Bucket widths (blocks), widest first — diagnostic analogue of
+        the uniform form's single ``window_blocks``."""
+        return tuple(sorted((b.win_block.shape[1] for b in self.buckets),
+                            reverse=True))
+
+    def table_bytes(self) -> int:
+        """Host/device band+spill table footprint (int8 entries)."""
+        return int(
+            sum(b.b_dense.size for b in self.buckets)
+            + sum(s.b_spill.size + 4 * s.spill_src.size for s in self.spills)
+        )
+
+
+def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
+                       feat_bytes=64, widths=(1, 2, 3, 4, 6, 8)):
+    """Per-group cost-optimal (offset, width).
+
+    For each candidate width w the best window of a group is the one
+    covering the most member entries — found by a sliding scan over the
+    (group, block)-sorted entries (searchsorted over a group-separated
+    key).  Modeled cost per group:
+
+        cost(w) = w · (G·128 int8 band bytes + 128·feat_bytes window rows)
+                + spill(w) · (G int8 band column + feat_bytes row + fudge)
+
+    Returns (offset[n_groups] int64, width[n_groups] int64).  Vectorized:
+    ~len(widths) searchsorted passes over nnz entries.
+    """
+    n_groups = len(cnt_per_group)
+    widths = tuple(w for w in widths if w <= max_width) or (max_width,)
+    order = np.lexsort((blk, grp))
+    gs, bs = grp[order], blk[order]
+    starts = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(cnt_per_group, out=starts[1:])
+    nonempty = cnt_per_group > 0
+    sep = nb + max(widths) + 1
+    key = gs * sep + bs
+    j = np.arange(len(gs), dtype=np.int64)
+    block_cost = G * 128 + 128 * feat_bytes
+    spill_cost = G + feat_bytes + 256  # +fudge: per-row gather latency
+    best_cost = np.full(n_groups, np.inf)
+    best_off = np.zeros(n_groups, dtype=np.int64)
+    best_w = np.full(n_groups, widths[0], dtype=np.int64)
+    for w in widths:
+        if len(gs):
+            right = np.searchsorted(key, key + w, side="left")
+            cover = right - j
+            # per-group argmax coverage: sort by (group, coverage) and
+            # take the last entry of each group's run
+            perm = np.lexsort((cover, gs))
+            last = perm[starts[1:][nonempty] - 1]
+            maxcov = np.zeros(n_groups, dtype=np.int64)
+            maxcov[nonempty] = cover[last]
+            off_w = np.zeros(n_groups, dtype=np.int64)
+            off_w[nonempty] = np.minimum(bs[last], max(nb - w, 0))
+        else:
+            maxcov = np.zeros(n_groups, dtype=np.int64)
+            off_w = np.zeros(n_groups, dtype=np.int64)
+        spill = cnt_per_group - maxcov
+        cost = w * block_cost + spill * spill_cost
+        upd = cost < best_cost
+        best_cost[upd] = cost[upd]
+        best_off[upd] = off_w[upd]
+        best_w[upd] = w
+    best_w[~nonempty] = widths[0]
+    best_off[~nonempty] = 0
+    return best_off, best_w
+
+
+def _merge_small_buckets(values, min_count):
+    """Map each distinct value to a representative ≥ it so no bucket has
+    fewer than ``min_count`` members (small buckets merge upward into the
+    next larger distinct value; the largest always survives)."""
+    uniq, cnts = np.unique(values, return_counts=True)
+    mapping = {}
+    carry = 0
+    pending = []
+    for u, c in zip(uniq, cnts):
+        pending.append(u)
+        carry += c
+        if carry >= min_count or u == uniq[-1]:
+            for p in pending:
+                mapping[p] = u
+            pending, carry = [], 0
+    if pending:  # trailing small buckets merge into the largest rep
+        rep = mapping[uniq[-1]] if uniq[-1] in mapping else uniq[-1]
+        for p in pending:
+            mapping[p] = rep
+    return np.asarray(
+        np.vectorize(mapping.__getitem__)(values), dtype=values.dtype
+    )
+
+
+def build_aligned_stage_bucketed(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_inputs: int,
+    group_rows: int = 128,
+    max_width: int = 8,
+    feat_bytes: int = 64,
+    spill_limit: int = 1 << 28,
+) -> AlignedStageB:
+    """Build one direction's bucketed aligned stage (:class:`AlignedStageB`)."""
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices, dtype=np.int64)
+    S = len(indptr) - 1
+    G = group_rows
+    n_groups = max(-(-S // G), 1)
+    nb = max(-(-num_inputs // ALIGNED_BLOCK), 1)
+    counts = np.diff(indptr).astype(np.float32)
+    if indices.size == 0:
+        empty_bucket = AlignedBucket(
+            b_dense=np.zeros((n_groups, G, ALIGNED_BLOCK), np.int8),
+            win_block=np.zeros((n_groups, 1), np.int32),
+            group_ids=np.arange(n_groups, dtype=np.int32),
+        )
+        return AlignedStageB(
+            buckets=(empty_bucket,), spills=(),
+            base_slot=np.arange(n_groups, dtype=np.int32),
+            spill_slot=np.zeros(n_groups, np.int32),
+            counts=counts, num_inputs=num_inputs, num_segments=S,
+            group_rows=G,
+        )
+    seg = np.repeat(np.arange(S, dtype=np.int64), np.diff(indptr))
+    grp = seg // G
+    row_in_g = seg % G
+    blk = indices // ALIGNED_BLOCK
+    cnt_per_group = np.bincount(grp, minlength=n_groups)
+    off, wid = _group_windows_opt(
+        grp, blk, cnt_per_group, nb, min(max_width, nb), G, feat_bytes
+    )
+    # merge rare widths upward: a bucket is one compiled matmul — keep ≤~4
+    min_groups = max(8, n_groups // 32)
+    wid = _merge_small_buckets(wid, min_groups)
+    # re-clamp offsets: merging only widens windows ([off, off+w') ⊇
+    # [off, off+w)), but off + w' must stay within the block count
+    off = np.minimum(off, np.maximum(nb - wid, 0))
+    og, wg = off[grp], wid[grp]
+    in_win = (blk >= og) & (blk < og + wg)
+
+    buckets = []
+    base_slot = np.zeros(n_groups, dtype=np.int32)
+    slot_base = 0
+    for w in np.unique(wid):
+        gsel = np.where(wid == w)[0]
+        W = int(w) * ALIGNED_BLOCK
+        ng_b = len(gsel)
+        local_of_group = np.full(n_groups, -1, dtype=np.int64)
+        local_of_group[gsel] = np.arange(ng_b)
+        esel = in_win & (local_of_group[grp] >= 0)
+        b_dense = np.zeros((ng_b, G, W), np.int8)
+        key = (local_of_group[grp[esel]] * G + row_in_g[esel]) * W + (
+            indices[esel] - og[esel] * ALIGNED_BLOCK
+        )
+        uk, cnts = np.unique(key, return_counts=True)
+        if cnts.size and cnts.max() > 127:
+            raise MemoryError(
+                "aligned stage: >127 duplicate incidences in one "
+                "(segment, source) pair — not an incidence matrix?"
+            )
+        b_dense.reshape(-1)[uk] = cnts.astype(np.int8)
+        win_block = (
+            off[gsel][:, None] + np.arange(int(w))[None, :]
+        ).astype(np.int32)
+        buckets.append(AlignedBucket(
+            b_dense=b_dense, win_block=win_block,
+            group_ids=gsel.astype(np.int32),
+        ))
+        base_slot[gsel] = slot_base + np.arange(ng_b, dtype=np.int32)
+        slot_base += ng_b
+
+    # ---- spill: only spilling groups, bucketed by pow2 spill width ----
+    sp = ~in_win
+    sgrp, srow, ssrc = grp[sp], row_in_g[sp], indices[sp]
+    per_g = np.bincount(sgrp, minlength=n_groups)
+    spilling = np.where(per_g > 0)[0]
+    spills = []
+    m_total = 0
+    spill_slot = np.zeros(n_groups, dtype=np.int32)
+    if len(spilling):
+        sw_of = 1 << np.ceil(
+            np.log2(np.maximum(per_g[spilling], 1))
+        ).astype(np.int64)
+        sw_of = _merge_small_buckets(sw_of, max(8, len(spilling) // 8))
+        total_entries = int(G * sw_of.sum())
+        if total_entries > spill_limit:
+            raise MemoryError(
+                f"aligned stage spill tables ({total_entries} int8 entries) "
+                f"> {spill_limit} (spill fraction {sp.mean():.2f}) — use the "
+                "tree or multihot backend"
+            )
+        order = np.argsort(sgrp, kind="stable")
+        sgrp_o, srow_o, ssrc_o = sgrp[order], srow[order], ssrc[order]
+        starts = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(per_g, out=starts[1:])
+        slot_in_g = np.arange(len(sgrp_o), dtype=np.int64) - starts[sgrp_o]
+        sw_of_group = np.zeros(n_groups, dtype=np.int64)
+        sw_of_group[spilling] = sw_of
+        for sw in np.unique(sw_of):
+            gsel = spilling[sw_of == sw]
+            m_b = len(gsel)
+            local_of_group = np.full(n_groups, -1, dtype=np.int64)
+            local_of_group[gsel] = np.arange(m_b)
+            esel = local_of_group[sgrp_o] >= 0
+            spill_src = np.full((m_b, int(sw)), num_inputs, np.int32)
+            b_spill = np.zeros((m_b, G, int(sw)), np.int8)
+            li = local_of_group[sgrp_o[esel]]
+            sl = slot_in_g[esel]
+            spill_src[li, sl] = ssrc_o[esel].astype(np.int32)
+            np.add.at(b_spill, (li, srow_o[esel], sl), 1)
+            spills.append(AlignedSpill(
+                b_spill=b_spill, spill_src=spill_src,
+                group_ids=gsel.astype(np.int32),
+            ))
+            spill_slot[gsel] = m_total + np.arange(m_b, dtype=np.int32)
+            m_total += m_b
+    spill_slot[per_g == 0] = m_total  # zero row
+    return AlignedStageB(
+        buckets=tuple(buckets), spills=tuple(spills),
+        base_slot=base_slot, spill_slot=spill_slot,
+        counts=counts, num_inputs=num_inputs, num_segments=S,
+        group_rows=G,
+    )
 
 
 class TilePlanData(NamedTuple):

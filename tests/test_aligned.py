@@ -125,6 +125,58 @@ def test_aligned_refuses_spill_heavy():
         planner.plan_aligned(hg)
 
 
+def test_bucketed_matches_uniform(sorted_hg):
+    """The bucketed form (per-group window widths, spill buckets) is an
+    efficiency refactor — results must match the uniform form exactly up
+    to bf16 matmul noise."""
+    hg = sorted_hg
+    hgd = hg.device_data()
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(hg.num_nodes, 9)).astype(np.float32)
+    )
+    uni = planner.plan_aligned(hg, form="uniform")
+    buck = planner.plan_aligned(hg, form="bucketed")
+    got_u = fused.hgnn_aggregate(hgd, x, None, "sum", plan=uni.as_device(),
+                                 backend="aligned")
+    got_b = fused.hgnn_aggregate(hgd, x, None, "sum", plan=buck.as_device(),
+                                 backend="aligned")
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(got_u),
+                               rtol=1e-2, atol=1e-2)
+    # bucketed must never stream more band bytes than uniform pays
+    for bs, us in ((buck.edge_stage, uni.edge_stage),
+                   (buck.vertex_stage, uni.vertex_stage)):
+        uni_bytes = us.b_dense.size + us.b_spill.size
+        assert bs.table_bytes() <= uni_bytes * 2  # int8 both; slack for src idx
+
+
+def test_bucketed_width_merge_clamps_offsets():
+    """Regression: merging a group's width upward must re-clamp its
+    window offset (off + w' past the last source block fed jnp.take OOB
+    fill → NaN).  A graph whose communities sit at the far end of the
+    vertex range exercises the clamp."""
+    rng = np.random.default_rng(11)
+    n, e = 2000, 1600
+    vs, es = [], []
+    for j in range(e):
+        lo = rng.integers(max(n - 300, 0), n - 10)
+        members = np.unique(rng.integers(lo, n, size=4))
+        vs.append(members)
+        es.append(np.full(len(members), j, dtype=np.int64))
+    hg = Hypergraph.from_coo(np.concatenate(vs), np.concatenate(es),
+                             num_nodes=n, num_edges=e)
+    st = planner.build_aligned_stage_bucketed(hg.ht_indptr, hg.ht_indices,
+                                              hg.num_nodes)
+    nb = -(-hg.num_nodes // planner.ALIGNED_BLOCK)
+    for b in st.buckets:
+        assert int(b.win_block.max(initial=0)) <= nb - 1
+    dev = planner.TreePlan._stage_device(st)
+    from hypergef_tpu.ops.tree import _apply_aligned_b
+
+    x = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    out = np.asarray(_apply_aligned_b(x, dev))
+    assert np.isfinite(out).all()
+
+
 def test_aligned_max_falls_back(sorted_hg):
     """first_aggr='max' cannot run on matmul-form stages — must route to
     the exact oracle, not crash."""

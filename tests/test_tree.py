@@ -115,7 +115,7 @@ def test_auto_backend_routes(small_hg):
     hg = small_hg
     hgd = hg.device_data()
     plan = plan_aggregation(hg, dense_threshold=0, with_bsr=False,
-                            with_precomp=False)  # force tree
+                            with_precomp=False, with_aligned=False)  # force tree
     assert plan.preferred_backend == "tree"
     x = rand_x(hg, f=4, seed=6)
     got = fused.hgnn_aggregate(hgd, x, None, "sum", plan=plan, backend="auto")

@@ -80,7 +80,7 @@ def main():
     from hypergef_tpu.ops import fused
     from hypergef_tpu.sparse import planner
     from hypergef_tpu.sparse.bsr import plan_bsr
-    from hypergef_tpu.utils.timing import device_time_per_iter
+    from hypergef_tpu.utils.timing import chain_fold, device_time_per_iter
 
     from hypergef_tpu.sparse.reorder import apply_vertex_order
 
@@ -157,7 +157,9 @@ def main():
                 def step(xv, hgd_, pd):
                     y = fused.hgnn_aggregate(hgd_, xv, None, "sum", plan=pd,
                                              backend=backend)
-                    return xv + 1e-30 * jnp.sum(y)
+                    # full-shape fold (timing.chain_fold): scalar folds
+                    # let XLA strength-reduce matmul-form backends
+                    return chain_fold(y, xv)
 
                 t = device_time_per_iter(step, x0, iters=args.iters,
                                          operands=(hgd, pdev))

@@ -75,7 +75,7 @@ def main():
     from hypergef_tpu.ops import fused
     from hypergef_tpu.sparse import planner
     from hypergef_tpu.sparse.reorder import apply_vertex_order
-    from hypergef_tpu.utils.timing import device_time_per_iter
+    from hypergef_tpu.utils.timing import chain_fold, device_time_per_iter
 
     rows = [
         f"# aligned scaling f={args.feat} dev={jax.devices()[0].platform}",
@@ -114,7 +114,9 @@ def main():
                 def step(xv, h, p, _b=backend):
                     y = fused.hgnn_aggregate(h, xv, None, "sum", plan=p,
                                              backend=_b)
-                    return xv + 1e-30 * jnp.sum(y)
+                    # full-shape fold (timing.chain_fold): scalar folds
+                    # let XLA strength-reduce matmul-form backends
+                    return chain_fold(y, xv)
 
                 t = device_time_per_iter(step, x0, iters=args.iters,
                                          operands=(hgd, pdev))

@@ -6,15 +6,25 @@ partitioning … exchanging boundary vertex features via all-to-all"):
 * hyperedges are partitioned contiguously by nnz (as in
   :mod:`hypergef_tpu.parallel.partition`);
 * vertices get *owners*: contiguous equal blocks of ⌈N/D⌉;
-* shard d touches vertex set T_d (members of its local edges).  The
-  boundary sets  S[d][d'] = T_d ∩ owned(d')  drive BOTH directions of
-  communication:
+* shard d's local hyperedges split into **interior** (every member
+  vertex owned by d — their V→E stage reads the owned block directly
+  and needs NO communication) and **boundary** edges, whose touched set
+  T_d = members ∩ non-local drives the halo exchange;
+* boundary sets  S[d][d'] = T_d ∩ owned(d')  drive BOTH directions:
 
       halo:    owner d' sends X rows S[d][d'] to worker d   (features in)
-      return:  worker d sends partial rows S[d][d'] to owner d' (partials out)
+      return:  worker d sends partial rows R[d][d'] to owner d' (partials out)
 
-  so per-layer communication is 2·Σ|S| — proportional to the cut, not
-  to |V| (the previous full-psum path moved D·N·F).
+  so per-layer communication is ∝ the cut, not |V|.
+
+The interior/boundary split exists for **collective/compute overlap**:
+in the emitted program the interior V→E reduction tree has no data
+dependence on the halo ``all_to_all``, so XLA's latency-hiding scheduler
+can run it between the collective's start/done pair.  On community-
+sorted graphs the interior fraction is large (most of stage-1 compute
+hides the halo latency); ``HaloPlan.interior_fraction`` reports it.
+It also SHRINKS the halo direction: vertices touched only by interior
+edges are no longer exchanged at all.
 
 Every structure is padded to static shapes and stacked on a leading
 device axis; the owner-side accumulation of incoming partials is — like
@@ -29,7 +39,7 @@ from typing import Optional
 import numpy as np
 
 from hypergef_tpu.parallel.partition import edge_partition_bounds
-from hypergef_tpu.sparse.planner import TreeStage, build_tree, choose_ngs
+from hypergef_tpu.sparse.planner import build_tree, choose_ngs
 
 
 def _round_up(x, m):
@@ -50,30 +60,44 @@ class HaloPlan:
     num_nodes: int
     num_edges: int
     n_own: int  # owned vertices per shard (= ceil(N/D), padded)
-    t_max: int  # max touched-set size
-    b_cap: int  # boundary capacity per (src, dst) pair
+    t_max: int  # max full touched-set size (return direction)
+    t_bnd_max: int  # max boundary touched-set size (halo direction)
+    b_cap: int  # return capacity per (src, dst) pair
+    b_cap_h: int  # halo capacity per (src, dst) pair
     e_pad: int  # padded local edge count
+    e_int_pad: int  # padded interior edge count
+    e_bnd_pad: int  # padded boundary edge count
     edge_bounds: np.ndarray
-    # local edge-stage over compact touched-vertex ids: [D, ...] stacked
-    e_levels: list
-    e_final_idx: np.ndarray
-    e_final_mask: np.ndarray
-    e_counts: np.ndarray
-    # local vertex-stage: rows = compact touched ids, inputs = local edges
+    # interior edge-stage: inputs = owned X rows [n_own] — independent of
+    # the halo all_to_all (the overlap workload)
+    int_levels: list
+    int_final_idx: np.ndarray  # [D, e_int_pad]
+    int_final_mask: np.ndarray
+    # boundary edge-stage: inputs = compact boundary-touched rows [t_bnd_max]
+    bnd_levels: list
+    bnd_final_idx: np.ndarray  # [D, e_bnd_pad]
+    bnd_final_mask: np.ndarray
+    # assembly: local edge slot -> row of concat([xe_int, xe_bnd, 0-row])
+    asm_idx: np.ndarray  # [D, e_pad] int32
+    e_counts: np.ndarray  # [D, e_pad] f32 — members per local edge (mean)
+    # local vertex-stage: rows = compact FULL touched ids, inputs = local edges
     v_levels: list
     v_final_idx: np.ndarray  # [D, t_max]
     v_final_mask: np.ndarray
     # exchange maps
     send_slot: np.ndarray  # [D, D, b_cap] int32 — compact T index to send to dst
     send_mask: np.ndarray  # [D, D, b_cap] f32
-    halo_send_slot: np.ndarray  # [D, D, b_cap] int32 — owner-local X row to send to dst d
-    halo_idx: np.ndarray  # [D, t_max] int32 — flat recv slot per compact T index
+    halo_send_slot: np.ndarray  # [D, D, b_cap_h] int32 — owner-local X row for dst
+    halo_mask: np.ndarray  # [D, D, b_cap_h] f32 — live halo slots
+    halo_idx: np.ndarray  # [D, t_bnd_max] int32 — flat recv slot per compact id
     # owner-side combine: inputs = flat [D*b_cap] received partial slots
     own_levels: list
     own_final_idx: np.ndarray  # [D, n_own]
     own_final_mask: np.ndarray
     degE: np.ndarray  # [D, e_pad, 1]
     degV_own: np.ndarray  # [D, n_own, 1]
+    n_interior: np.ndarray  # [D] int64 — true interior edge counts
+    n_local_edges: np.ndarray  # [D] int64
     _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     def device(self):
@@ -82,8 +106,11 @@ class HaloPlan:
 
             j = jnp.asarray
             self._device = (
-                tuple((j(g), j(m)) for g, m in self.e_levels),
-                j(self.e_final_idx), j(self.e_final_mask), j(self.e_counts),
+                tuple((j(g), j(m)) for g, m in self.int_levels),
+                j(self.int_final_idx), j(self.int_final_mask),
+                tuple((j(g), j(m)) for g, m in self.bnd_levels),
+                j(self.bnd_final_idx), j(self.bnd_final_mask),
+                j(self.asm_idx), j(self.e_counts),
                 tuple((j(g), j(m)) for g, m in self.v_levels),
                 j(self.v_final_idx), j(self.v_final_mask),
                 j(self.send_slot), j(self.send_mask),
@@ -95,9 +122,23 @@ class HaloPlan:
         return self._device
 
     def comm_fraction(self) -> float:
-        """Boundary traffic / full-replication traffic (lower = better)."""
+        """Return-direction traffic / full-replication traffic."""
         boundary = float(self.send_mask.sum())
         return boundary / max(self.n_shards * self.num_nodes, 1)
+
+    def halo_comm_fraction(self) -> float:
+        """Halo-direction traffic / full-replication traffic (smaller
+        than comm_fraction: interior-only vertices are never sent)."""
+        return float(self.halo_mask.sum()) / max(
+            self.n_shards * self.num_nodes, 1
+        )
+
+    def interior_fraction(self) -> float:
+        """Fraction of local hyperedges whose V→E compute is independent
+        of the halo all_to_all (the overlap workload)."""
+        return float(self.n_interior.sum()) / max(
+            float(self.n_local_edges.sum()), 1.0
+        )
 
 
 def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
@@ -107,38 +148,78 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
     ngs = choose_ngs(hg.edge_sizes(), min_ngs=4, max_ngs=64, step=4)
     ngs_v = choose_ngs(hg.vertex_degrees(), min_ngs=4, max_ngs=64, step=4)
 
-    touched = []  # per shard: sorted global touched vertex ids
-    e_stages, v_stages = [], []
+    touched = []  # per shard: sorted global FULL touched vertex ids
+    touched_bnd = []  # per shard: sorted touched ids of boundary edges
+    int_stages, bnd_stages, v_stages = [], [], []
+    n_interior = np.zeros(D, dtype=np.int64)
+    n_local = np.zeros(D, dtype=np.int64)
     e_pad = int((bounds[1:] - bounds[:-1]).max())
+    int_counts, bnd_ids = [], []  # per shard: interior edge ids, boundary ids
     for d in range(D):
         e0, e1 = int(bounds[d]), int(bounds[d + 1])
+        ne = e1 - e0
         lo, hi = int(hg.ht_indptr[e0]), int(hg.ht_indptr[e1])
         members = hg.ht_indices[lo:hi].astype(np.int64)
-        sizes = np.diff(hg.ht_indptr[e0 : e1 + 1])
+        sizes = np.diff(hg.ht_indptr[e0 : e1 + 1]).astype(np.int64)
+        n_local[d] = ne
+        own_lo, own_hi = d * n_own, (d + 1) * n_own
+        e_of = np.repeat(np.arange(ne, dtype=np.int64), sizes)
+        is_owned = (members >= own_lo) & (members < own_hi)
+        owned_per_e = np.zeros(max(ne, 1), dtype=np.int64)
+        np.add.at(owned_per_e, e_of, is_owned.astype(np.int64))
+        interior = owned_per_e[:ne] == sizes
+        I = np.nonzero(interior)[0]
+        B = np.nonzero(~interior)[0]
+        n_interior[d] = len(I)
+        int_counts.append(I)
+        bnd_ids.append(B)
+        # --- interior stage: CSR over interior edges, owned-local ids ---
+        sel_i = interior[e_of] if ne else np.zeros(0, dtype=bool)
+        ptr_i = np.zeros(max(len(I), 1) + 1, dtype=np.int64)
+        np.cumsum(sizes[I], out=ptr_i[1 : len(I) + 1])
+        idx_i = (members[sel_i] - own_lo).astype(np.int32)
+        int_stages.append(build_tree(ptr_i, idx_i, n_own, ngs, fan))
+        # --- boundary stage: CSR over boundary edges, compact T_bnd ----
+        sel_b = ~sel_i
+        Tb = np.unique(members[sel_b])
+        touched_bnd.append(Tb)
+        ptr_b = np.zeros(max(len(B), 1) + 1, dtype=np.int64)
+        np.cumsum(sizes[B], out=ptr_b[1 : len(B) + 1])
+        idx_b = np.searchsorted(Tb, members[sel_b]).astype(np.int32)
+        bnd_stages.append(build_tree(ptr_b, idx_b, max(len(Tb), 1), ngs, fan))
+        # --- full touched set (return direction) -----------------------
         T = np.unique(members)
         touched.append(T)
-        compact = np.searchsorted(T, members)  # member → compact id
-        # local CSR of H^T with compact vertex ids
-        ht_indptr = np.zeros(max(e1 - e0, 1) + 1, dtype=np.int64)
-        np.cumsum(sizes, out=ht_indptr[1 : e1 - e0 + 1])
-        if e1 == e0:
-            ht_indptr[:] = 0
-        e_stages.append(
-            build_tree(ht_indptr, compact.astype(np.int32), max(len(T), 1), ngs, fan)
-        )
+        compact = np.searchsorted(T, members)
         # local CSR of H restricted to touched rows (compact) × local edges
-        e_local = np.repeat(np.arange(e1 - e0, dtype=np.int64), sizes)
+        e_local = e_of
         order = np.lexsort((e_local, compact))
         h_indices = e_local[order].astype(np.int32)
         h_indptr = np.zeros(max(len(T), 1) + 1, dtype=np.int64)
         np.add.at(h_indptr, compact + 1, 1)
         np.cumsum(h_indptr, out=h_indptr)
         v_stages.append(
-            build_tree(h_indptr, h_indices, max(e1 - e0, 1), ngs_v, fan)
+            build_tree(h_indptr, h_indices, max(ne, 1), ngs_v, fan)
         )
 
+    e_int_pad = max(int(n_interior.max()), 1)
+    e_bnd_pad = max(int((n_local - n_interior).max()), 1)
     t_max = max(max(len(T) for T in touched), 1)
-    # boundary sets and capacity
+    t_bnd_max = max(max(len(T) for T in touched_bnd), 1)
+
+    # assembly map: local edge slot -> concat([xe_int, xe_bnd, zero]) row
+    zero_row = e_int_pad + e_bnd_pad
+    asm_idx = np.full((D, e_pad), zero_row, dtype=np.int32)
+    e_counts = np.zeros((D, e_pad), dtype=np.float32)
+    for d in range(D):
+        e0, e1 = int(bounds[d]), int(bounds[d + 1])
+        ne = e1 - e0
+        I, B = int_counts[d], bnd_ids[d]
+        asm_idx[d, I] = np.arange(len(I), dtype=np.int32)
+        asm_idx[d, B] = e_int_pad + np.arange(len(B), dtype=np.int32)
+        e_counts[d, :ne] = np.diff(hg.ht_indptr[e0 : e1 + 1])
+
+    # ---- return-direction boundary sets (full touched) ----------------
     S = [[None] * D for _ in range(D)]
     b_cap = 1
     for d in range(D):
@@ -148,10 +229,21 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
             b_cap = max(b_cap, len(S[d][dp]))
     b_cap = _round_up(b_cap, 8)
 
+    # ---- halo-direction boundary sets (boundary touched only) ---------
+    Sh = [[None] * D for _ in range(D)]
+    b_cap_h = 1
+    for d in range(D):
+        owner_of = touched_bnd[d] // n_own
+        for dp in range(D):
+            Sh[d][dp] = touched_bnd[d][owner_of == dp]
+            b_cap_h = max(b_cap_h, len(Sh[d][dp]))
+    b_cap_h = _round_up(b_cap_h, 8)
+
     send_slot = np.zeros((D, D, b_cap), dtype=np.int32)
     send_mask = np.zeros((D, D, b_cap), dtype=np.float32)
-    halo_send_slot = np.zeros((D, D, b_cap), dtype=np.int32)
-    halo_idx = np.zeros((D, t_max), dtype=np.int32)
+    halo_send_slot = np.zeros((D, D, b_cap_h), dtype=np.int32)
+    halo_mask = np.zeros((D, D, b_cap_h), dtype=np.float32)
+    halo_idx = np.zeros((D, t_bnd_max), dtype=np.int32)
     own_stages = []
     for d in range(D):
         T = touched[d]
@@ -160,15 +252,20 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
             k = len(s)
             send_slot[d, dp, :k] = np.searchsorted(T, s)
             send_mask[d, dp, :k] = 1.0
-            # halo direction: OWNER dp sends X rows S[d][dp] to shard d
-            halo_send_slot[dp, d, :k] = (s - dp * n_own).astype(np.int32)
-        # halo: shard d receives from owner dp the rows S[d][dp] at
-        # recv[dp, :|S|]; compact T index t lives at flat slot
-        # dp*b_cap + rank within S[d][owner(t)]
-        owner_of = T // n_own
+            # halo direction: OWNER dp sends X rows Sh[d][dp] to shard d
+            sh = Sh[d][dp]
+            kh = len(sh)
+            halo_send_slot[dp, d, :kh] = (sh - dp * n_own).astype(np.int32)
+            halo_mask[dp, d, :kh] = 1.0
+        # halo: shard d receives from owner dp the rows Sh[d][dp] at
+        # recv[dp, :|Sh|]; compact T_bnd index t lives at flat slot
+        # dp*b_cap_h + rank within Sh[d][owner(t)]
+        owner_of = touched_bnd[d] // n_own
         for dp in range(D):
             sel = np.nonzero(owner_of == dp)[0]
-            halo_idx[d, sel] = (dp * b_cap + np.arange(len(sel))).astype(np.int32)
+            halo_idx[d, sel] = (dp * b_cap_h + np.arange(len(sel))).astype(
+                np.int32
+            )
     # owner-side combine: shard dp receives partial rows for owned
     # vertices from every source d at flat slot d*b_cap + rank(S[d][dp])
     for dp in range(D):
@@ -191,7 +288,8 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
             build_tree(indptr, rows[:, 1].astype(np.int32), D * b_cap, 4, fan)
         )
 
-    e_levels, e_fi, e_fm, e_cn = _stack_stages(e_stages, e_pad, fan)
+    int_levels, int_fi, int_fm, _ = _stack_stages(int_stages, e_int_pad, fan)
+    bnd_levels, bnd_fi, bnd_fm, _ = _stack_stages(bnd_stages, e_bnd_pad, fan)
     v_levels, v_fi, v_fm, _ = _stack_stages(v_stages, t_max, fan)
     own_levels, own_fi, own_fm, _ = _stack_stages(own_stages, n_own, fan)
 
@@ -213,15 +311,22 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
         num_edges=hg.num_edges,
         n_own=n_own,
         t_max=t_max,
+        t_bnd_max=t_bnd_max,
         b_cap=b_cap,
+        b_cap_h=b_cap_h,
         e_pad=e_pad,
+        e_int_pad=e_int_pad,
+        e_bnd_pad=e_bnd_pad,
         edge_bounds=bounds,
-        e_levels=e_levels, e_final_idx=e_fi, e_final_mask=e_fm, e_counts=e_cn,
+        int_levels=int_levels, int_final_idx=int_fi, int_final_mask=int_fm,
+        bnd_levels=bnd_levels, bnd_final_idx=bnd_fi, bnd_final_mask=bnd_fm,
+        asm_idx=asm_idx, e_counts=e_counts,
         v_levels=v_levels, v_final_idx=v_fi, v_final_mask=v_fm,
         send_slot=send_slot, send_mask=send_mask,
-        halo_send_slot=halo_send_slot, halo_idx=halo_idx,
+        halo_send_slot=halo_send_slot, halo_mask=halo_mask, halo_idx=halo_idx,
         own_levels=own_levels, own_final_idx=own_fi, own_final_mask=own_fm,
         degE=degE, degV_own=degV_own,
+        n_interior=n_interior, n_local_edges=n_local,
     )
     plan.device()
     return plan

@@ -42,21 +42,31 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
     specs = jax.tree_util.tree_map(lambda _: P(EDGE_AXIS), plan_dev)
 
     def body(pl, x_blk, wdiag):
-        (e_levels, e_fi, e_fm, e_cn, v_levels, v_fi, v_fm,
+        (int_levels, int_fi, int_fm, bnd_levels, bnd_fi, bnd_fm,
+         asm_idx, e_cn, v_levels, v_fi, v_fm,
          send_slot, send_mask, halo_send_slot, halo_idx,
          own_levels, own_fi, own_fm, degE, degV_own) = _sq(pl)
         x_blk = x_blk  # [n_own, F] owned rows
         f = x_blk.shape[1]
         # 1. halo out (as owner): gather rows for each dst, all_to_all
-        hs = halo_send_slot  # [D, b_cap]
-        d_, b_cap = hs.shape
-        halo_out = jnp.take(x_blk, hs.reshape(-1), axis=0).reshape(d_, b_cap, f)
+        hs = halo_send_slot  # [D, b_cap_h]
+        d_, b_cap_h = hs.shape
+        halo_out = jnp.take(x_blk, hs.reshape(-1), axis=0).reshape(d_, b_cap_h, f)
         halo_in = jax.lax.all_to_all(
             halo_out, EDGE_AXIS, split_axis=0, concat_axis=0, tiled=False
-        )  # [D, b_cap, F]: block i = rows from owner i
-        x_t = jnp.take(halo_in.reshape(d_ * b_cap, f), halo_idx, axis=0)
-        # 2. local two-stage aggregation over compact touched ids
-        xe = _apply_levels(x_t, e_levels, e_fi, e_fm)  # [e_pad, F]
+        )  # [D, b_cap_h, F]: block i = rows from owner i
+        # 2a. INTERIOR V→E: reads x_blk only — no data dependence on the
+        # all_to_all, so the latency-hiding scheduler can run this tree
+        # between the collective's start/done pair (the overlap workload)
+        xe_int = _apply_levels(x_blk, int_levels, int_fi, int_fm)
+        # 2b. boundary V→E over the (smaller) halo'd touched set
+        x_t = jnp.take(halo_in.reshape(d_ * b_cap_h, f), halo_idx, axis=0)
+        xe_bnd = _apply_levels(x_t, bnd_levels, bnd_fi, bnd_fm)
+        # 2c. assemble per-local-edge rows (static permutation, no scatter)
+        xe_cat = jnp.concatenate(
+            [xe_int, xe_bnd, jnp.zeros((1, f), xe_int.dtype)], axis=0
+        )
+        xe = jnp.take(xe_cat, asm_idx, axis=0)  # [e_pad, F]
         if first_aggr == "mean":
             xe = xe / jnp.maximum(e_cn, 1.0)[:, None]
         xe = xe * degE
@@ -64,6 +74,7 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
             xe = xe * wdiag[0]
         part = _apply_levels(xe, v_levels, v_fi, v_fm)  # [t_max, F]
         # 3. return partials to owners
+        b_cap = send_slot.shape[1]
         ret_out = (
             jnp.take(part, send_slot.reshape(-1), axis=0).reshape(d_, b_cap, f)
             * send_mask[:, :, None]

@@ -174,13 +174,16 @@ def sweep(
             else:
                 pdev = None
 
+            from hypergef_tpu.utils.timing import chain_fold
+
             if pdev is not None:
                 def step(xv, hgd_, pd):
                     y = fused.hgnn_aggregate(
                         hgd_, xv, None, first_aggr, plan=pd, backend=backend
                     )
-                    # shape-preserving chaining: fold y back into x's shape
-                    return xv + 1e-30 * jnp.sum(y)
+                    # full-shape fold: a scalar sum fold lets XLA hoist
+                    # loop-invariant matmul work out of the timing loop
+                    return chain_fold(y, xv)
 
                 operands = (hgd, pdev)
             else:
@@ -188,7 +191,7 @@ def sweep(
                     y = fused.hgnn_aggregate(
                         hgd_, xv, None, first_aggr, plan=plan, backend=backend
                     )
-                    return xv + 1e-30 * jnp.sum(y)
+                    return chain_fold(y, xv)
 
                 operands = (hgd,)
 

@@ -34,6 +34,29 @@ def sync(y) -> float:
     return total
 
 
+def chain_fold(y, xv):
+    """Fold a step's output back into the loop carry WITHOUT letting XLA
+    optimize the step away.
+
+    A scalar fold (``xv + 1e-30 * jnp.sum(y)``) is NOT safe for timing:
+    the reduction is linear, so the AlgebraicSimplifier rewrites
+    ``reduce(dot(B, W))`` into ``dot(reduce(B), W)`` and then hoists the
+    loop-invariant table contraction OUT of the timing fori_loop — a
+    band-matmul stage measured 0.0 µs under the scalar fold
+    (scripts/probe_aligned_bisect.py, 2026-08-17).  Gather-form stages
+    are not rewritten (XLA does not push reductions through gathers), so
+    tree/cumsum numbers were unaffected.
+
+    Safe folds: a full-shape linear carry (every output element feeds
+    the next iteration — nothing can be hoisted because the carry
+    changes), or a quadratic scalar (no linear rewrite exists through
+    ``y*y``) when shapes differ.
+    """
+    if getattr(y, "shape", None) == getattr(xv, "shape", None):
+        return xv + 1e-30 * y
+    return xv + 1e-30 * jnp.sum(y * y)
+
+
 class Timer:
     """Simple wall-clock bracket with block_until_ready semantics."""
 

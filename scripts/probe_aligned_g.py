@@ -31,7 +31,7 @@ from clustered_bench import community_hypergraph
 from hypergef_tpu.ops import fused
 from hypergef_tpu.sparse import planner
 from hypergef_tpu.sparse.reorder import apply_vertex_order
-from hypergef_tpu.utils.timing import device_time_per_iter
+from hypergef_tpu.utils.timing import chain_fold, device_time_per_iter
 
 
 def main():
@@ -55,7 +55,7 @@ def main():
             def step(xv, hgd_, pd):
                 y = fused.hgnn_aggregate(hgd_, xv, None, "sum", plan=pd,
                                          backend="aligned")
-                return xv + 1e-30 * jnp.sum(y)
+                return chain_fold(y, xv)
 
             t = device_time_per_iter(step, x0, iters=iters, operands=(hgd, pdev))
             print(f"G={g_rows}: {t['per_iter_s']*1e6:.1f} us  "

@@ -35,7 +35,7 @@ from hypergef_tpu.ops.tree import AlignedStageDev, AlignedStageBDev, AlignedBuck
 from hypergef_tpu.ops.devplan import DevTreePlan
 from hypergef_tpu.sparse import planner
 from hypergef_tpu.sparse.reorder import apply_vertex_order
-from hypergef_tpu.utils.timing import device_time_per_iter
+from hypergef_tpu.utils.timing import chain_fold, device_time_per_iter
 
 
 def bf16_stage(st):
@@ -123,7 +123,7 @@ def main():
         def step(xv, hgd_, pd):
             y = fused.hgnn_aggregate(hgd_, xv, None, "sum", plan=pd,
                                      backend="aligned")
-            return xv + 1e-30 * jnp.sum(y)
+            return chain_fold(y, xv)
 
         try:
             t = device_time_per_iter(step, x0, iters=iters, operands=(hgd, pdev))

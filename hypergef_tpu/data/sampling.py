@@ -88,17 +88,23 @@ class HyperedgeSampler:
         sizes = hg.edge_sizes().astype(np.float64)
         self._probs = sizes / sizes.sum() if weighted else None
 
-    def sample_batch(self) -> HyperedgeBatch:
+    def sample_batch(self, pad_to: Optional[tuple] = None) -> HyperedgeBatch:
         hg = self.hg
         edges = self.rng.choice(
             hg.num_edges, size=min(self.batch_edges, hg.num_edges),
             replace=False, p=self._probs,
         )
         edges = np.sort(edges)
-        return self.induce(edges)
+        return self.induce(edges, pad_to=pad_to)
 
-    def induce(self, edges: np.ndarray) -> HyperedgeBatch:
-        """Build the padded batch for an explicit sorted hyperedge set."""
+    def induce(self, edges: np.ndarray, pad_to: Optional[tuple] = None
+               ) -> HyperedgeBatch:
+        """Build the padded batch for an explicit sorted hyperedge set.
+
+        ``pad_to=(n_pad, e_pad, nnz_pad)`` forces fixed shapes (the
+        data-parallel path stacks one batch per device, so every batch
+        of a step must share shapes); raises ``ValueError`` if the batch
+        exceeds the caps."""
         import jax.numpy as jnp
 
         hg = self.hg
@@ -115,9 +121,17 @@ class HyperedgeSampler:
         nnz = int(members.shape[0])
 
         # bucketed static shapes (+1 ghost row each side)
-        n_pad = _bucket(len(verts) + 1)
-        e_pad = _bucket(len(edges) + 1)
-        nnz_pad = _bucket(max(nnz, 1), minimum=64)
+        if pad_to is not None:
+            n_pad, e_pad, nnz_pad = pad_to
+            if len(verts) + 1 > n_pad or len(edges) + 1 > e_pad or nnz > nnz_pad:
+                raise ValueError(
+                    f"batch ({len(verts)}v/{len(edges)}e/{nnz}nnz) exceeds "
+                    f"pad_to={pad_to}"
+                )
+        else:
+            n_pad = _bucket(len(verts) + 1)
+            e_pad = _bucket(len(edges) + 1)
+            nnz_pad = _bucket(max(nnz, 1), minimum=64)
 
         # local H^T CSR (edge-major)
         ht_indptr = np.zeros(len(edges) + 1, dtype=np.int64)
@@ -176,7 +190,8 @@ class HyperedgeSampler:
             num_real_edges=len(edges),
         )
 
-    def epoch(self, shuffle: bool = True) -> Iterator[HyperedgeBatch]:
+    def epoch(self, shuffle: bool = True,
+              pad_to: Optional[tuple] = None) -> Iterator[HyperedgeBatch]:
         """One pass over all hyperedges in batches."""
         order = (
             self.rng.permutation(self.hg.num_edges)
@@ -188,4 +203,18 @@ class HyperedgeSampler:
             chunk = order[i : i + bs]
             if len(chunk) < bs and self.drop_last and i > 0:
                 return
-            yield self.induce(np.sort(chunk))
+            yield self.induce(np.sort(chunk), pad_to=pad_to)
+
+    def probe_pad_shapes(self, k: int = 8, margin: float = 1.5) -> tuple:
+        """Conservative fixed bucket shapes for pad_to: max over ``k``
+        sampled batches × ``margin``, re-bucketed to powers of two.  The
+        data-parallel trainer uses this so every device's batch compiles
+        to ONE program shape."""
+        n = e = z = 1
+        for _ in range(k):
+            b = self.sample_batch()
+            n = max(n, b.num_real_vertices + 1)
+            e = max(e, b.num_real_edges + 1)
+            z = max(z, int(b.data.ht_vertex.shape[0]))
+        return (_bucket(int(n * margin)), _bucket(int(e * margin)),
+                _bucket(int(z * margin), minimum=64))

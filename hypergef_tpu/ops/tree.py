@@ -128,12 +128,13 @@ class AlignedStageBDev:
     num_inputs: int = 0
     num_segments: int = 0
     group_rows: int = 128
+    block_rows: int = 128
 
 
 jax.tree_util.register_dataclass(
     AlignedStageBDev,
     data_fields=["buckets", "spills", "base_slot", "spill_slot", "counts"],
-    meta_fields=["num_inputs", "num_segments", "group_rows"],
+    meta_fields=["num_inputs", "num_segments", "group_rows", "block_rows"],
 )
 
 
@@ -361,14 +362,15 @@ def _apply_aligned_b(x, st: AlignedStageBDev):
     operand (fused convert — half the streamed band bytes)."""
     f = x.shape[1]
     g_rows = st.group_rows
-    pad = (-st.num_inputs) % _ALIGNED_BLOCK
+    blk = st.block_rows
+    pad = (-st.num_inputs) % blk
     xb = jnp.pad(x, ((0, pad), (0, 0))).astype(jnp.bfloat16)
-    xb = xb.reshape(-1, _ALIGNED_BLOCK, f)  # [nb, B, F]
+    xb = xb.reshape(-1, blk, f)  # [nb, B, F]
     outs = []
     for bk in st.buckets:
         ng_b, wb = bk.win_block.shape
         win = jnp.take(xb, bk.win_block.reshape(-1), axis=0)
-        win = win.reshape(ng_b, wb * _ALIGNED_BLOCK, f)
+        win = win.reshape(ng_b, wb * blk, f)
         outs.append(jax.lax.dot_general(
             bk.b_dense.astype(jnp.bfloat16), win, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,

@@ -289,6 +289,7 @@ class TreePlan:
                 num_inputs=st.num_inputs,
                 num_segments=st.num_segments,
                 group_rows=st.group_rows,
+                block_rows=st.block_rows,
             )
         if isinstance(st, AlignedStage):
             from hypergef_tpu.ops.tree import AlignedStageDev
@@ -975,6 +976,7 @@ def plan_aligned(
     spill_limit: int = 1 << 28,
     form: str = "bucketed",
     feat_bytes: int = 64,
+    block_rows: int = ALIGNED_BLOCK,
 ) -> TreePlan:
     """Two-direction aligned-banded plan (community-sorted graphs).
 
@@ -1021,12 +1023,12 @@ def plan_aligned(
         e_stage = build_aligned_stage_bucketed(
             hg.ht_indptr, hg.ht_indices, hg.num_nodes, group_rows,
             max_width=window_blocks or 8, feat_bytes=feat_bytes,
-            spill_limit=spill_limit,
+            spill_limit=spill_limit, block_rows=block_rows,
         )
         v_stage = build_aligned_stage_bucketed(
             hg.h_indptr, hg.h_indices, hg.num_edges, group_rows,
             max_width=window_blocks or 8, feat_bytes=feat_bytes,
-            spill_limit=spill_limit,
+            spill_limit=spill_limit, block_rows=block_rows,
         )
     elif form == "uniform":
         wb_e = choose(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
@@ -1092,6 +1094,7 @@ class AlignedStageB(NamedTuple):
     num_inputs: int
     num_segments: int
     group_rows: int
+    block_rows: int = 128  # source block granularity (gather row width)
 
     @property
     def spill_fraction(self) -> float:
@@ -1115,7 +1118,8 @@ class AlignedStageB(NamedTuple):
 
 
 def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
-                       feat_bytes=64, widths=(1, 2, 3, 4, 6, 8)):
+                       feat_bytes=64, widths=(1, 2, 3, 4, 6, 8),
+                       block_rows=128, spill_fudge=256):
     """Per-group cost-optimal (offset, width).
 
     For each candidate width w the best window of a group is the one
@@ -1139,8 +1143,11 @@ def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
     sep = nb + max(widths) + 1
     key = gs * sep + bs
     j = np.arange(len(gs), dtype=np.int64)
-    block_cost = G * 128 + 128 * feat_bytes
-    spill_cost = G + feat_bytes + 256  # +fudge: per-row gather latency
+    # spill_fudge=256 measured best on SBM-60k (640 widened windows and
+    # cost +17%; spill row gathers are cheaper at the margin than extra
+    # streamed band blocks — probe_aligned_blocks.py 2026-08-17)
+    block_cost = G * block_rows + block_rows * feat_bytes
+    spill_cost = G + feat_bytes + spill_fudge
     best_cost = np.full(n_groups, np.inf)
     best_off = np.zeros(n_groups, dtype=np.int64)
     best_w = np.full(n_groups, widths[0], dtype=np.int64)
@@ -1202,6 +1209,7 @@ def build_aligned_stage_bucketed(
     max_width: int = 8,
     feat_bytes: int = 64,
     spill_limit: int = 1 << 28,
+    block_rows: int = ALIGNED_BLOCK,
 ) -> AlignedStageB:
     """Build one direction's bucketed aligned stage (:class:`AlignedStageB`)."""
     indptr = np.asarray(indptr, dtype=np.int64)
@@ -1209,11 +1217,11 @@ def build_aligned_stage_bucketed(
     S = len(indptr) - 1
     G = group_rows
     n_groups = max(-(-S // G), 1)
-    nb = max(-(-num_inputs // ALIGNED_BLOCK), 1)
+    nb = max(-(-num_inputs // block_rows), 1)
     counts = np.diff(indptr).astype(np.float32)
     if indices.size == 0:
         empty_bucket = AlignedBucket(
-            b_dense=np.zeros((n_groups, G, ALIGNED_BLOCK), np.int8),
+            b_dense=np.zeros((n_groups, G, block_rows), np.int8),
             win_block=np.zeros((n_groups, 1), np.int32),
             group_ids=np.arange(n_groups, dtype=np.int32),
         )
@@ -1222,15 +1230,16 @@ def build_aligned_stage_bucketed(
             base_slot=np.arange(n_groups, dtype=np.int32),
             spill_slot=np.zeros(n_groups, np.int32),
             counts=counts, num_inputs=num_inputs, num_segments=S,
-            group_rows=G,
+            group_rows=G, block_rows=block_rows,
         )
     seg = np.repeat(np.arange(S, dtype=np.int64), np.diff(indptr))
     grp = seg // G
     row_in_g = seg % G
-    blk = indices // ALIGNED_BLOCK
+    blk = indices // block_rows
     cnt_per_group = np.bincount(grp, minlength=n_groups)
     off, wid = _group_windows_opt(
-        grp, blk, cnt_per_group, nb, min(max_width, nb), G, feat_bytes
+        grp, blk, cnt_per_group, nb, min(max_width, nb), G, feat_bytes,
+        block_rows=block_rows,
     )
     # merge rare widths upward: a bucket is one compiled matmul — keep ≤~4
     min_groups = max(8, n_groups // 32)
@@ -1246,14 +1255,14 @@ def build_aligned_stage_bucketed(
     slot_base = 0
     for w in np.unique(wid):
         gsel = np.where(wid == w)[0]
-        W = int(w) * ALIGNED_BLOCK
+        W = int(w) * block_rows
         ng_b = len(gsel)
         local_of_group = np.full(n_groups, -1, dtype=np.int64)
         local_of_group[gsel] = np.arange(ng_b)
         esel = in_win & (local_of_group[grp] >= 0)
         b_dense = np.zeros((ng_b, G, W), np.int8)
         key = (local_of_group[grp[esel]] * G + row_in_g[esel]) * W + (
-            indices[esel] - og[esel] * ALIGNED_BLOCK
+            indices[esel] - og[esel] * block_rows
         )
         uk, cnts = np.unique(key, return_counts=True)
         if cnts.size and cnts.max() > 127:
@@ -1322,7 +1331,7 @@ def build_aligned_stage_bucketed(
         buckets=tuple(buckets), spills=tuple(spills),
         base_slot=base_slot, spill_slot=spill_slot,
         counts=counts, num_inputs=num_inputs, num_segments=S,
-        group_rows=G,
+        group_rows=G, block_rows=block_rows,
     )
 
 

@@ -82,21 +82,31 @@ def analyze(hg, d, feat, ici_gbps, ns_per_nnz):
     from hypergef_tpu.parallel.halo import plan_halo
 
     plan = plan_halo(hg, d)
-    # rows exchanged per (src, dst) link, one direction, one all_to_all
-    link_rows = plan.send_mask.sum(axis=2)  # [D, D]
-    np.fill_diagonal(link_rows, 0.0)  # self-exchange is local
+    # rows exchanged per (src, dst) link per all_to_all; the two
+    # directions differ now: halo ships only boundary-touched rows
+    # (interior-only vertices are never exchanged), return ships partial
+    # rows for the full touched set
+    ret_rows = plan.send_mask.sum(axis=2)  # [D, D]
+    halo_rows = plan.halo_mask.sum(axis=2)  # [D, D]
+    np.fill_diagonal(ret_rows, 0.0)  # self-exchange is local
+    np.fill_diagonal(halo_rows, 0.0)
     bytes_per_row = feat * 4
-    total_bytes = float(link_rows.sum()) * bytes_per_row * 2  # 2 a2a/layer
-    max_link = float(link_rows.max()) * bytes_per_row * 2
+    total_bytes = float(ret_rows.sum() + halo_rows.sum()) * bytes_per_row
+    max_link = float(ret_rows.max() + halo_rows.max()) * bytes_per_row
     # cross-shard boundary rows / full-replication rows (self-exchange is
     # a local copy, not ICI traffic — excluded, unlike plan.comm_fraction)
-    comm_frac = float(link_rows.sum()) / max(d * hg.num_nodes, 1)
+    comm_frac = float(ret_rows.sum() + halo_rows.sum()) / (
+        2 * max(d * hg.num_nodes, 1)
+    )
+    # fraction of local-edge V→E work independent of the halo collective
+    # (the latency-hiding scheduler's overlap budget)
     return plan, {
         "comm_frac": comm_frac,
         "total_MB": total_bytes / 1e6,
         "max_link_MB": max_link / 1e6,
         "t_ici_us": max_link / (ici_gbps * 1e9) * 1e6,
         "t_compute_us": hg.nnz / d * ns_per_nnz * 1e-3,
+        "interior_frac": plan.interior_fraction(),
     }
 
 
@@ -128,7 +138,7 @@ def main():
         "# halo weak scaling: plan-derived traffic + modeled projection",
         f"# ici_gbps={args.ici_gbps} ns_per_nnz={args.ns_per_nnz} "
         f"feat={args.feat} nnz_per_shard={args.nnz_per_shard}",
-        "graph,shards,nnz,comm_frac,total_MB,max_link_MB,"
+        "graph,shards,nnz,comm_frac,interior_frac,total_MB,max_link_MB,"
         "t_ici_us,t_compute_us,comm_over_compute,wall_ms",
     ]
     for kind in ("random", "clustered"):
@@ -147,6 +157,7 @@ def main():
                 wall = f"{measure_wall(hg, plan, d, args) * 1e3:.3f}"
             ratio = m["t_ici_us"] / max(m["t_compute_us"], 1e-9)
             row = (f"{kind},{d},{hg.nnz},{m['comm_frac']:.4f},"
+                   f"{m['interior_frac']:.4f},"
                    f"{m['total_MB']:.3f},{m['max_link_MB']:.3f},"
                    f"{m['t_ici_us']:.2f},{m['t_compute_us']:.2f},"
                    f"{ratio:.3f},{wall}")

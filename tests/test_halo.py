@@ -60,6 +60,42 @@ def test_halo_comm_smaller_than_replication(skewed_hg):
     assert plan.comm_fraction() < 1.0
 
 
+def test_halo_interior_split(skewed_hg):
+    """Interior/boundary split invariants: every local edge lands in
+    exactly one bucket, interior edges' members are all owned, the halo
+    direction ships no more rows than the return direction (interior-
+    only vertices are never exchanged)."""
+    hg = skewed_hg
+    plan = plan_halo(hg, 8)
+    assert 0.0 <= plan.interior_fraction() <= 1.0
+    assert plan.halo_comm_fraction() <= plan.comm_fraction() + 1e-9
+    n_bnd = plan.n_local_edges - plan.n_interior
+    for d in range(8):
+        slots = plan.asm_idx[d, : int(plan.n_local_edges[d])]
+        n_int = int(plan.n_interior[d])
+        assert (slots < plan.e_int_pad).sum() == n_int
+        assert ((slots >= plan.e_int_pad)
+                & (slots < plan.e_int_pad + plan.e_bnd_pad)).sum() == int(n_bnd[d])
+        # padded slots all point at the zero row
+        pad_slots = plan.asm_idx[d, int(plan.n_local_edges[d]):]
+        assert (pad_slots == plan.e_int_pad + plan.e_bnd_pad).all()
+
+
+def test_halo_interior_majority_on_clustered():
+    """On a community-sorted graph the contiguous edge partition aligns
+    with vertex ownership, so most edges are interior — the overlap
+    budget the split exists for."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    from weak_scaling import clustered_hypergraph
+
+    hg = clustered_hypergraph(8000, 4000, 8.0, seed=0)
+    plan = plan_halo(hg, 4)
+    assert plan.interior_fraction() > 0.5
+    # and the halo direction is much lighter than full replication
+    assert plan.halo_comm_fraction() < 0.25
+
+
 def test_halo_grad_matches_single_device(skewed_hg):
     from hypergef_tpu.ops import fused
     from hypergef_tpu.sparse.planner import plan_tree

@@ -96,6 +96,37 @@ def test_halo_interior_majority_on_clustered():
     assert plan.halo_comm_fraction() < 0.25
 
 
+def test_interior_independent_of_halo_collective():
+    """The overlap property, proven on the traced program: the interior
+    V→E tree must have no data dependence on the halo all_to_all (that
+    independence is what lets XLA's latency-hiding scheduler run it
+    between the collective's start/done pair on real multi-chip TPU),
+    while the return all_to_all and the output must depend on it."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    from weak_scaling import clustered_hypergraph
+
+    from hypergef_tpu.parallel.halo_aggr import (
+        halo_hgnn_aggregate, shard_vertex_features)
+    from hypergef_tpu.parallel.mesh import make_mesh
+    from hypergef_tpu.utils.introspect import collective_overlap_report
+
+    hg = clustered_hypergraph(8000, 4000, 8.0, seed=0)
+    plan = plan_halo(hg, 8)
+    assert plan.interior_fraction() > 0.5
+    mesh = make_mesh(8, 1)
+    x = shard_vertex_features(
+        plan, np.zeros((hg.num_nodes, 16), np.float32))
+    rep = collective_overlap_report(
+        lambda xo: halo_hgnn_aggregate(plan, mesh, xo), x)
+    assert rep["n_collectives"] == 2
+    assert rep["chain"]  # return a2a waits on halo a2a (two-phase)
+    assert rep["output_depends_on_collective"]
+    # the interior tree (gather + combine work) is collective-independent
+    assert rep["independent_gather_rows"] > 0
+    assert rep["independent_elems"] > 10_000
+
+
 def test_halo_grad_matches_single_device(skewed_hg):
     from hypergef_tpu.ops import fused
     from hypergef_tpu.sparse.planner import plan_tree

@@ -263,4 +263,181 @@ void hg_community_order(int64_t n, int64_t e, const int64_t* ht_indptr,
   for (int64_t i = 0; i < n; ++i) order_out[i] = (int32_t)idx[i];
 }
 
+// ---------------------------------------------------------------------
+// Multilevel best-friend star coarsening order
+// ---------------------------------------------------------------------
+// C++ twin of hypergef_tpu/sparse/reorder.py::coarsen_order (the
+// round-2 default community ordering; recovers planted SBM structure to
+// ground-truth aligned-window spill where label propagation floods).
+// Fresh Rabbit-Order-class design (reference vendors-but-never-calls
+// rabbit_order.hpp:267-753; incremental-aggregation rationale only).
+// Must stay bit-identical to the NumPy twin — tested in
+// tests/test_native.py.
+
+namespace {
+
+struct PairW {
+  int64_t u, v;
+  double w;
+};
+
+// per-level state: CSR of the (coarse) hypergraph, edge-major
+struct LevelCsr {
+  std::vector<int64_t> indptr;
+  std::vector<int64_t> indices;
+};
+
+// all ordered intra-hyperedge pairs (u != v) with weight 1/(k-1),
+// for edges with 2 <= k <= edge_cap (reorder.py::_pair_weights)
+void pair_weights(const LevelCsr& g, int64_t edge_cap,
+                  std::vector<PairW>& out) {
+  out.clear();
+  int64_t ne = (int64_t)g.indptr.size() - 1;
+  for (int64_t e = 0; e < ne; ++e) {
+    int64_t lo = g.indptr[e], hi = g.indptr[e + 1];
+    int64_t k = hi - lo;
+    if (k < 2 || k > edge_cap) continue;
+    double w = 1.0 / (double)(k - 1);
+    for (int64_t i = lo; i < hi; ++i)
+      for (int64_t j = lo; j < hi; ++j)
+        if (g.indices[i] != g.indices[j])
+          out.push_back({g.indices[i], g.indices[j], w});
+  }
+}
+
+// p[x] = argmax_y sum w(x, y); ties -> smallest y; x if isolated
+// (reorder.py::_best_friend)
+void best_friend(std::vector<PairW>& pw, int64_t n, std::vector<int64_t>& p) {
+  p.resize(n);
+  for (int64_t i = 0; i < n; ++i) p[i] = i;
+  if (pw.empty()) return;
+  // stable: within a (u, v) run the weights keep edge-major order, so
+  // the float accumulation order matches the NumPy twin bit-for-bit
+  std::stable_sort(pw.begin(), pw.end(), [](const PairW& a, const PairW& b) {
+    return a.u != b.u ? a.u < b.u : a.v < b.v;
+  });
+  // per-(u, v) weights as sequential prefix-sum differences — the
+  // identical float expression the NumPy twin computes (cumsum is
+  // sequential; reduceat would sum pairwise) → bit-identical ties
+  size_t i = 0;
+  double csum = 0.0;
+  while (i < pw.size()) {
+    int64_t u = pw[i].u;
+    double best_w = -1.0;
+    int64_t best_v = u;
+    while (i < pw.size() && pw[i].u == u) {
+      int64_t v = pw[i].v;
+      double before = csum;
+      while (i < pw.size() && pw[i].u == u && pw[i].v == v) {
+        csum += pw[i].w;
+        ++i;
+      }
+      double w = csum - before;
+      if (w > best_w) {  // strictly greater: ties keep smaller v
+        best_w = w;
+        best_v = v;
+      }
+    }
+    p[u] = best_v;
+  }
+}
+
+// connected components of the undirected best-friend graph via
+// min-label propagation; renumbered by order of smallest label
+// (reorder.py::_bf_components)
+void bf_components(const std::vector<int64_t>& p, std::vector<int64_t>& comp) {
+  int64_t n = (int64_t)p.size();
+  std::vector<int64_t> lab(n), nw(n);
+  for (int64_t i = 0; i < n; ++i) lab[i] = i;
+  for (int it = 0; it < 64; ++it) {
+    for (int64_t i = 0; i < n; ++i) nw[i] = lab[i];
+    for (int64_t i = 0; i < n; ++i)
+      if (lab[i] < nw[p[i]]) nw[p[i]] = lab[i];
+    for (int64_t i = 0; i < n; ++i)
+      if (lab[p[i]] < nw[i]) nw[i] = lab[p[i]];
+    if (nw == lab) break;
+    lab.swap(nw);
+  }
+  // dense renumber: rank of each label among sorted distinct labels
+  std::vector<int64_t> uniq(lab);
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  comp.resize(n);
+  for (int64_t i = 0; i < n; ++i)
+    comp[i] = std::lower_bound(uniq.begin(), uniq.end(), lab[i]) -
+              uniq.begin();
+}
+
+}  // namespace
+
+void hg_coarsen_order(int64_t n0, int64_t e0, const int64_t* ht_indptr,
+                      const int32_t* ht_vertex, int64_t edge_cap,
+                      int64_t max_levels, int32_t* order_out) {
+  LevelCsr g;
+  g.indptr.assign(ht_indptr, ht_indptr + e0 + 1);
+  g.indices.resize(ht_indptr[e0]);
+  for (int64_t i = 0; i < ht_indptr[e0]; ++i) g.indices[i] = ht_vertex[i];
+
+  int64_t n = n0;
+  std::vector<std::vector<int64_t>> parents;
+  std::vector<PairW> pw;
+  std::vector<int64_t> p, comp;
+  while (true) {
+    pair_weights(g, edge_cap, pw);
+    best_friend(pw, n, p);
+    bf_components(p, comp);
+    int64_t k = n ? *std::max_element(comp.begin(), comp.end()) + 1 : 0;
+    parents.push_back(comp);
+    if (k <= 1 || (double)k >= (double)n * 0.95 ||
+        (int64_t)parents.size() >= max_levels) {
+      n = k;
+      break;
+    }
+    // rebuild the coarse hypergraph: unique (edge, supernode) members,
+    // drop edges collapsed to a single supernode
+    int64_t ne = (int64_t)g.indptr.size() - 1;
+    std::vector<std::pair<int64_t, int64_t>> keys;  // (edge, supernode)
+    keys.reserve(g.indices.size());
+    for (int64_t e = 0; e < ne; ++e)
+      for (int64_t i = g.indptr[e]; i < g.indptr[e + 1]; ++i)
+        keys.emplace_back(e, comp[g.indices[i]]);
+    std::sort(keys.begin(), keys.end());
+    keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+    LevelCsr g2;
+    g2.indptr.push_back(0);
+    size_t i = 0;
+    while (i < keys.size()) {
+      int64_t e = keys[i].first;
+      size_t j = i;
+      while (j < keys.size() && keys[j].first == e) ++j;
+      if (j - i >= 2) {  // keep edges with >= 2 distinct supernodes
+        for (size_t t = i; t < j; ++t) g2.indices.push_back(keys[t].second);
+        g2.indptr.push_back((int64_t)g2.indices.size());
+      }
+      i = j;
+    }
+    g = std::move(g2);
+    n = k;
+  }
+
+  // dendrogram leaf order: pos through the parent chain, coarse->fine
+  std::vector<int64_t> pos(n);
+  for (int64_t i = 0; i < n; ++i) pos[i] = i;
+  std::vector<int64_t> ord, np_;
+  for (auto it = parents.rbegin(); it != parents.rend(); ++it) {
+    const std::vector<int64_t>& cp = *it;
+    int64_t m = (int64_t)cp.size();
+    ord.resize(m);
+    for (int64_t i = 0; i < m; ++i) ord[i] = i;
+    std::stable_sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+      return pos[cp[a]] < pos[cp[b]];
+    });
+    np_.resize(m);
+    for (int64_t i = 0; i < m; ++i) np_[ord[i]] = i;
+    pos.swap(np_);
+  }
+  // order_out = argsort(pos): pos is a permutation -> invert
+  for (int64_t i = 0; i < n0; ++i) order_out[pos[i]] = (int32_t)i;
+}
+
 }  // extern "C"

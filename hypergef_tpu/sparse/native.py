@@ -77,6 +77,14 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p,  # order out [n]
         ]
         lib.hg_community_order.restype = None
+    if hasattr(lib, "hg_coarsen_order"):
+        lib.hg_coarsen_order.argtypes = [
+            ctypes.c_int64, ctypes.c_int64,  # n, e
+            i64p, i32p,  # ht_indptr, ht_vertex (edge-major)
+            ctypes.c_int64, ctypes.c_int64,  # edge_cap, max_levels
+            i32p,  # order out [n]
+        ]
+        lib.hg_coarsen_order.restype = None
     _LIB = lib
     return _LIB
 
@@ -180,6 +188,23 @@ def build_ell_native(indptr: np.ndarray, indices: np.ndarray, ngs: int, pad_chun
 if __name__ == "__main__":  # pragma: no cover
     ok = build(verbose=True)
     print("native build:", "ok" if ok else "FAILED")
+
+
+def coarsen_order_native(hg, edge_cap: int = 64, max_levels: int = 40):
+    """C++ multilevel coarsening order; None if lib unavailable.
+    Bit-identical to :func:`hypergef_tpu.sparse.reorder.coarsen_order`."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hg_coarsen_order"):
+        return None
+    n, e = hg.num_nodes, hg.num_edges
+    ht_indptr = np.ascontiguousarray(hg.ht_indptr, dtype=np.int64)
+    ht_vertex = np.ascontiguousarray(hg.ht_indices, dtype=np.int32)
+    order = np.empty(n, dtype=np.int32)
+    lib.hg_coarsen_order(
+        n, e, _i64p(ht_indptr), _i32p(ht_vertex),
+        ctypes.c_int64(edge_cap), ctypes.c_int64(max_levels), _i32p(order),
+    )
+    return order
 
 
 def community_order_native(hg, iters: int = 8):

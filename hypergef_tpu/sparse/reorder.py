@@ -141,7 +141,13 @@ def _best_friend(u, v, w, n):
     new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
     idx = np.nonzero(new)[0]
     uu, vv = u[idx], v[idx]
-    ww = np.add.reduceat(w, idx)
+    # per-run sums as SEQUENTIAL prefix-sum differences (not reduceat:
+    # reduceat sums pairwise, an order the C++ twin cannot cheaply
+    # replicate — cumsum is defined sequential, so both sides compute
+    # the identical float expression → bit-identical ties)
+    csum = np.cumsum(w)
+    ends = np.append(idx[1:], len(w)) - 1
+    ww = csum[ends] - np.where(idx > 0, csum[idx - 1], 0.0)
     order2 = np.lexsort((-ww, uu))  # stable: ties keep smaller v
     uu2, vv2 = uu[order2], vv[order2]
     first = np.ones(len(uu2), bool)
@@ -165,7 +171,8 @@ def _bf_components(p):
     return np.unique(lab, return_inverse=True)[1]
 
 
-def coarsen_order(hg, edge_cap: int = 64, max_levels: int = 40) -> np.ndarray:
+def coarsen_order(hg, edge_cap: int = 64, max_levels: int = 40,
+                  use_native: bool = True) -> np.ndarray:
     """Multilevel best-friend star-coarsening vertex order.
 
     Fresh Rabbit-Order-class design (the reference vendors but never
@@ -177,7 +184,16 @@ def coarsen_order(hg, edge_cap: int = 64, max_levels: int = 40) -> np.ndarray:
     measured to weld fragments across communities) → rebuild the coarse
     hypergraph.  The final order is the dendrogram leaf order: sort by
     top-level ancestor, then recursively by each lower level.
+
+    Runs in C++ (``csrc/hypergef_native.cpp::hg_coarsen_order``) when the
+    native lib is built; bit-identical NumPy fallback below.
     """
+    if use_native:
+        from hypergef_tpu.sparse import native
+
+        got = native.coarsen_order_native(hg, edge_cap, max_levels)
+        if got is not None:
+            return got
     indptr = np.asarray(hg.ht_indptr, dtype=np.int64)
     indices = np.asarray(hg.ht_indices, dtype=np.int64)
     n = hg.num_nodes

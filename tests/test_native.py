@@ -109,6 +109,39 @@ def test_community_order_parity():
         np.testing.assert_array_equal(got, want)
 
 
+def test_coarsen_order_parity():
+    """C++ multilevel coarsening ≡ NumPy twin, bit-for-bit — including
+    the float best-friend weight ties (both sides aggregate per-(u,v)
+    weights as sequential prefix-sum differences; np.add.reduceat sums
+    pairwise and would diverge)."""
+    import pytest
+
+    from hypergef_tpu.sparse import native
+    from hypergef_tpu.sparse.reorder import apply_vertex_order, coarsen_order
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    from hypergef_tpu.data.synthetic import (
+        homophilic_hypergraph, powerlaw_hypergraph, random_hypergraph)
+
+    hgs = [
+        homophilic_hypergraph(500, 300, 4, avg_edge_size=6, seed=3)[0],
+        (lambda o: o[0] if isinstance(o, tuple) else o)(
+            random_hypergraph(300, 150, avg_edge_size=5.0, seed=5)),
+        powerlaw_hypergraph(400, 200, seed=2),
+    ]
+    # shuffled community graph (the production input shape)
+    hg0, _ = homophilic_hypergraph(800, 500, 8, avg_edge_size=7,
+                                   noise=0.03, seed=11)
+    perm = np.random.default_rng(7).permutation(hg0.num_nodes)
+    hgs.append(apply_vertex_order(hg0, perm.astype(np.int64),
+                                  sort_edges=False)[0])
+    for hg in hgs:
+        want = coarsen_order(hg, use_native=False)
+        got = native.coarsen_order_native(hg)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_community_reorder_improves_locality():
     """On a community graph with SHUFFLED vertex ids, the reorder must
     recover tile locality (lower multihot fragmentation)."""

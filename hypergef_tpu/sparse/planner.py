@@ -977,6 +977,7 @@ def plan_aligned(
     form: str = "bucketed",
     feat_bytes: int = 64,
     block_rows: int = ALIGNED_BLOCK,
+    spill_fudge: int = 256,
 ) -> TreePlan:
     """Two-direction aligned-banded plan (community-sorted graphs).
 
@@ -1024,11 +1025,13 @@ def plan_aligned(
             hg.ht_indptr, hg.ht_indices, hg.num_nodes, group_rows,
             max_width=window_blocks or 8, feat_bytes=feat_bytes,
             spill_limit=spill_limit, block_rows=block_rows,
+            spill_fudge=spill_fudge,
         )
         v_stage = build_aligned_stage_bucketed(
             hg.h_indptr, hg.h_indices, hg.num_edges, group_rows,
             max_width=window_blocks or 8, feat_bytes=feat_bytes,
             spill_limit=spill_limit, block_rows=block_rows,
+            spill_fudge=spill_fudge,
         )
     elif form == "uniform":
         wb_e = choose(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
@@ -1210,6 +1213,7 @@ def build_aligned_stage_bucketed(
     feat_bytes: int = 64,
     spill_limit: int = 1 << 28,
     block_rows: int = ALIGNED_BLOCK,
+    spill_fudge: int = 256,
 ) -> AlignedStageB:
     """Build one direction's bucketed aligned stage (:class:`AlignedStageB`)."""
     indptr = np.asarray(indptr, dtype=np.int64)
@@ -1239,7 +1243,7 @@ def build_aligned_stage_bucketed(
     cnt_per_group = np.bincount(grp, minlength=n_groups)
     off, wid = _group_windows_opt(
         grp, blk, cnt_per_group, nb, min(max_width, nb), G, feat_bytes,
-        block_rows=block_rows,
+        block_rows=block_rows, spill_fudge=spill_fudge,
     )
     # merge rare widths upward: a bucket is one compiled matmul — keep ≤~4
     min_groups = max(8, n_groups // 32)
@@ -1282,9 +1286,18 @@ def build_aligned_stage_bucketed(
         slot_base += ng_b
 
     # ---- spill: only spilling groups, bucketed by pow2 spill width ----
+    # dedup (group, src): a hub row spilled by several segments of one
+    # group is gathered ONCE (its one-hot column carries every segment) —
+    # measured 25%/18% of spill entries are intra-group duplicates on
+    # SBM-60k, and the spill path is per-row-gather-latency-bound
+    # (probe_aligned_breakdown.py: spills ~230 of 297 us)
     sp = ~in_win
     sgrp, srow, ssrc = grp[sp], row_in_g[sp], indices[sp]
-    per_g = np.bincount(sgrp, minlength=n_groups)
+    pair_key = sgrp * np.int64(num_inputs + 1) + ssrc
+    uk, inv = np.unique(pair_key, return_inverse=True)
+    ugrp = (uk // (num_inputs + 1)).astype(np.int64)
+    usrc = (uk % (num_inputs + 1)).astype(np.int64)
+    per_g = np.bincount(ugrp, minlength=n_groups)  # unique srcs per group
     spilling = np.where(per_g > 0)[0]
     spills = []
     m_total = 0
@@ -1301,25 +1314,28 @@ def build_aligned_stage_bucketed(
                 f"> {spill_limit} (spill fraction {sp.mean():.2f}) — use the "
                 "tree or multihot backend"
             )
-        order = np.argsort(sgrp, kind="stable")
-        sgrp_o, srow_o, ssrc_o = sgrp[order], srow[order], ssrc[order]
+        # uk is sorted by (group, src) → slots are contiguous per group
         starts = np.zeros(n_groups + 1, dtype=np.int64)
         np.cumsum(per_g, out=starts[1:])
-        slot_in_g = np.arange(len(sgrp_o), dtype=np.int64) - starts[sgrp_o]
-        sw_of_group = np.zeros(n_groups, dtype=np.int64)
-        sw_of_group[spilling] = sw_of
+        slot_of_pair = np.arange(len(uk), dtype=np.int64) - starts[ugrp]
         for sw in np.unique(sw_of):
             gsel = spilling[sw_of == sw]
             m_b = len(gsel)
             local_of_group = np.full(n_groups, -1, dtype=np.int64)
             local_of_group[gsel] = np.arange(m_b)
-            esel = local_of_group[sgrp_o] >= 0
+            psel = local_of_group[ugrp] >= 0  # pairs in this bucket
             spill_src = np.full((m_b, int(sw)), num_inputs, np.int32)
             b_spill = np.zeros((m_b, G, int(sw)), np.int8)
-            li = local_of_group[sgrp_o[esel]]
-            sl = slot_in_g[esel]
-            spill_src[li, sl] = ssrc_o[esel].astype(np.int32)
-            np.add.at(b_spill, (li, srow_o[esel], sl), 1)
+            spill_src[local_of_group[ugrp[psel]], slot_of_pair[psel]] = (
+                usrc[psel].astype(np.int32)
+            )
+            esel = local_of_group[sgrp] >= 0  # entries in this bucket
+            np.add.at(
+                b_spill,
+                (local_of_group[sgrp[esel]], srow[esel],
+                 slot_of_pair[inv[esel]]),
+                1,
+            )
             spills.append(AlignedSpill(
                 b_spill=b_spill, spill_src=spill_src,
                 group_ids=gsel.astype(np.int32),

@@ -72,6 +72,14 @@ def bench_e2e(args):
     tr = Trainer(cfg, hg, x, y)
     _log("bench_e2e: trainer ready, timing chained epochs (compiles may take minutes)...")
     t_s = tr.epoch_device_time(split["train"], iters=args.iters)
+    if t_s <= 0:  # differenced window swamped by dispatch jitter — widen
+        _log("bench_e2e: zero window (dispatch jitter) — retrying with 5x iters")
+        t_s = tr.epoch_device_time(split["train"], iters=args.iters * 5)
+    if t_s <= 0:
+        raise RuntimeError(
+            "bench_e2e: could not resolve a positive device-time window "
+            "(tunneled-chip dispatch jitter above the compute window)"
+        )
     _log(f"bench_e2e: per-epoch {t_s*1e6:.1f} us")
     epochs_per_s = 1.0 / t_s if t_s > 0 else float("inf")
     vs = REF_20NEWS_EPOCH_MS / (t_s * 1e3)
@@ -135,8 +143,16 @@ def bench_kernel(args):
         return fused.hgnn_aggregate(hgd, a, None, "sum", plan=plan, backend=backend)
 
     r = device_time_per_iter(step, x0, iters=args.iters)
+    if r["per_iter_s"] <= 0 or r.get("noisy"):
+        _log(f"bench_kernel[{args.config}]: noisy window — retrying 5x iters")
+        r = device_time_per_iter(step, x0, iters=args.iters * 5)
     t_s = r["per_iter_s"]
-    nnz_per_s = hg.nnz / t_s if t_s > 0 else float("inf")
+    if t_s <= 0:
+        raise RuntimeError(
+            f"bench_kernel[{args.config}]: could not resolve a positive "
+            "device-time window (dispatch jitter above compute)"
+        )
+    nnz_per_s = hg.nnz / t_s
     vs = (ref_ms / (t_s * 1e3)) if ref_ms else 0.0
     return {
         "metric": f"fused_hgnn_layer_nnz_per_s_{args.config}_f{args.feat}_{backend}",

@@ -209,12 +209,19 @@ class Trainer:
         f = jax.jit(run, static_argnums=2)
         sync(f(self.params, self.opt_state, 1))
         sync(f(self.params, self.opt_state, iters + 1))
-        t0 = time.perf_counter()
-        sync(f(self.params, self.opt_state, 1))
-        t_short = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sync(f(self.params, self.opt_state, iters + 1))
-        t_long = time.perf_counter() - t0
+
+        # min over repeats: tunnel dispatch jitter (0.5–24 ms) would
+        # otherwise swamp the differenced window on single samples
+        def timed(n, repeats=5):
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                sync(f(self.params, self.opt_state, n))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_short = timed(1)
+        t_long = timed(iters + 1)
         return max(t_long - t_short, 0.0) / iters
 
     def evaluate(self, split_idx) -> Dict[str, float]:

@@ -77,7 +77,7 @@ def device_time_per_iter(
     step: Callable[..., jax.Array],
     x: jax.Array,
     iters: int = 50,
-    repeats: int = 3,
+    repeats: int = 5,
     operands: tuple = (),
 ) -> dict:
     """Measure per-iteration device time of ``step`` (shape-preserving
@@ -114,8 +114,13 @@ def device_time_per_iter(
 
     t_short = timed(1)
     t_long = timed(iters + 1)
+    # dispatch jitter through the tunnel is 0.5–24 ms; when the chained
+    # compute window is not comfortably above it the difference is noise
+    # (can even clamp to 0) — flag it so callers re-run with more iters
+    window = t_long - t_short
     return {
-        "per_iter_s": max(t_long - t_short, 0.0) / iters,
+        "per_iter_s": max(window, 0.0) / iters,
         "dispatch_s": t_short,
         "compile_s": compile_short + compile_long,
+        "noisy": bool(window < 0.5 * t_short),
     }

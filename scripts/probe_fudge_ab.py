@@ -31,7 +31,7 @@ from hypergef_tpu.utils.timing import chain_fold, device_time_per_iter
 
 
 def main():
-    n, e, comm, avg, noise, f, iters = 60_000, 30_000, 240, 12, 0.02, 32, 20
+    n, e, comm, avg, noise, f, iters = 60_000, 30_000, 240, 12, 0.02, 32, 60
     hg = community_hypergraph(n, e, comm, avg, noise, 0)
     hg, _ = apply_vertex_order(hg, np.arange(hg.num_nodes), sort_edges=True)
     degE = jnp.asarray(hg.degE)

@@ -1021,15 +1021,18 @@ def plan_aligned(
     if form == "bucketed":
         feasibility(hg.ht_indptr, hg.ht_indices, hg.num_nodes)
         feasibility(hg.h_indptr, hg.h_indices, hg.num_edges)
+        # default max window SPAN is 8 blocks of 128 rows; finer
+        # block_rows keep the same span reachable with more blocks
+        max_w = window_blocks or max(8 * ALIGNED_BLOCK // block_rows, 8)
         e_stage = build_aligned_stage_bucketed(
             hg.ht_indptr, hg.ht_indices, hg.num_nodes, group_rows,
-            max_width=window_blocks or 8, feat_bytes=feat_bytes,
+            max_width=max_w, feat_bytes=feat_bytes,
             spill_limit=spill_limit, block_rows=block_rows,
             spill_fudge=spill_fudge,
         )
         v_stage = build_aligned_stage_bucketed(
             hg.h_indptr, hg.h_indices, hg.num_edges, group_rows,
-            max_width=window_blocks or 8, feat_bytes=feat_bytes,
+            max_width=max_w, feat_bytes=feat_bytes,
             spill_limit=spill_limit, block_rows=block_rows,
             spill_fudge=spill_fudge,
         )
@@ -1121,7 +1124,8 @@ class AlignedStageB(NamedTuple):
 
 
 def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
-                       feat_bytes=64, widths=(1, 2, 3, 4, 6, 8),
+                       feat_bytes=64,
+                       widths=(1, 2, 3, 4, 6, 8, 12, 16, 24, 32),
                        block_rows=128, spill_fudge=256):
     """Per-group cost-optimal (offset, width).
 

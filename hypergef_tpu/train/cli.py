@@ -132,13 +132,22 @@ def main(argv=None):
     )
     if args.profile:
         # reference --profile fast path (hgsys.py:146-159): time the raw
-        # epoch loop without the warm-up/timed split
+        # epoch loop without the warm-up/timed split, then report device
+        # memory (the GPUtil.memoryUsed / cuda.memory_summary analogue,
+        # hgsys.py:169-170,191)
         import time
+
+        import jax
 
         tr = Trainer(cfg, hg, x, y)
         t0 = time.perf_counter()
         res = tr.fit(split["train"], epochs=args.epochs, warmup=0)
         print(f"epoch time: {time.perf_counter() - t0:.4f}")
+        stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+        if stats:
+            used = stats.get("bytes_in_use", 0) / 1e6
+            peak = stats.get("peak_bytes_in_use", 0) / 1e6
+            print(f"device memory: {used:.1f} MB in use, {peak:.1f} MB peak")
         return res
     if args.shards > 0:
         from hypergef_tpu.parallel.trainer import DistTrainer

@@ -54,6 +54,9 @@ def main():
     n, e = 2_500_000, 1_250_000
     t0 = time.perf_counter()
     hg = big_sbm(n, e, 5000, 10.0, 0.01, 0)
+    from hypergef_tpu.sparse.reorder import apply_vertex_order
+
+    hg, _ = apply_vertex_order(hg, np.arange(hg.num_nodes), sort_edges=True)
     gen_s = time.perf_counter() - t0
     print(f"shard graph: nnz={hg.nnz} gen {gen_s:.0f}s", flush=True)
 

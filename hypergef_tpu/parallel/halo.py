@@ -39,11 +39,92 @@ from typing import Optional
 import numpy as np
 
 from hypergef_tpu.parallel.partition import edge_partition_bounds
-from hypergef_tpu.sparse.planner import build_tree, choose_ngs
+from hypergef_tpu.sparse.planner import (
+    aligned_spill_stats, build_aligned_stage, build_tree, choose_ngs)
 
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+def _median_sort_interior(I, sizes, e_of, sel_i, loc, ne):
+    """Sort interior edge ids by median owned-local member id (the
+    aligned form's window-quality key — see reorder.apply_vertex_order).
+    Returns (I_sorted, ptr, idx): the interior CSR in sorted order."""
+    if len(I) == 0:
+        return I, np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.int32)
+    e_ent = e_of[sel_i]  # original local edge id per interior entry
+    order0 = np.lexsort((loc, e_ent))
+    loc_s, e_s = loc[order0], e_ent[order0]
+    cnt = np.zeros(ne + 1, dtype=np.int64)
+    np.add.at(cnt, e_s + 1, 1)
+    start = np.cumsum(cnt)[:-1]
+    med = np.zeros(ne, dtype=np.int64)
+    nz = np.nonzero(cnt[1:])[0]  # edges with ≥1 interior entry
+    med[nz] = loc_s[start[nz] + (cnt[1:][nz] // 2)]
+    perm = np.argsort(med[I], kind="stable")
+    I_sorted = I[perm]
+    rank = np.full(ne, -1, dtype=np.int64)
+    rank[I_sorted] = np.arange(len(I))
+    ent_order = np.argsort(rank[e_ent], kind="stable")
+    idx = loc[ent_order].astype(np.int32)
+    ptr = np.zeros(len(I) + 1, dtype=np.int64)
+    np.cumsum(sizes[I_sorted], out=ptr[1:])
+    return I_sorted, ptr, idx
+
+
+def _transpose_csr(ptr, idx, num_segments_out):
+    """(edge → vertex) CSR → (vertex → edge-rank) CSR."""
+    S = len(ptr) - 1
+    seg = np.repeat(np.arange(S, dtype=np.int64), np.diff(ptr))
+    v = np.asarray(idx, dtype=np.int64)
+    order = np.lexsort((seg, v))
+    t_idx = seg[order].astype(np.int32)
+    t_ptr = np.zeros(num_segments_out + 1, dtype=np.int64)
+    np.add.at(t_ptr, v + 1, 1)
+    np.cumsum(t_ptr, out=t_ptr)
+    return t_ptr, t_idx
+
+
+def _choose_wb(csrs, num_inputs, max_spill=0.15, hard=0.25):
+    """Smallest common window width whose worst-shard spill is ≤
+    max_spill; falls back to 8 if ≤ hard; None otherwise."""
+    worst = 0.0
+    for wb in (2, 4, 6, 8):
+        worst = max(
+            (aligned_spill_stats(p, i, num_inputs, 128, wb)
+             if len(i) else 0.0)
+            for p, i in csrs
+        )
+        if worst <= max_spill:
+            return wb
+    return 8 if worst <= hard else None
+
+
+def _stack_aligned(stages, n_groups_c, num_inputs):
+    """Pad per-shard uniform AlignedStages to common shapes and stack
+    on a leading device axis. Returns dict of [D, ...] arrays."""
+    G = stages[0].b_dense.shape[1]
+    W = stages[0].b_dense.shape[2]
+    sw_c = max(st.spill_src.shape[1] for st in stages)
+    bd, wbk, ss, bs = [], [], [], []
+    for st in stages:
+        ng, _, _ = st.b_dense.shape
+        sw = st.spill_src.shape[1]
+        bd.append(np.pad(st.b_dense, ((0, n_groups_c - ng), (0, 0), (0, 0))))
+        wbk.append(np.pad(st.win_block, ((0, n_groups_c - ng), (0, 0))))
+        ss.append(np.pad(
+            st.spill_src, ((0, n_groups_c - ng), (0, sw_c - sw)),
+            constant_values=num_inputs,
+        ))
+        bs.append(np.pad(
+            st.b_spill, ((0, n_groups_c - ng), (0, 0), (0, sw_c - sw))))
+    return {
+        "b_dense": np.stack(bd),       # [D, ng, G, W] int8
+        "win_block": np.stack(wbk),    # [D, ng, wb] int32
+        "spill_src": np.stack(ss),     # [D, ng, sw] int32
+        "b_spill": np.stack(bs),       # [D, ng, G, sw] int8
+    }
 
 
 def _stack_stages(stages, seg_to, fan):
@@ -98,6 +179,12 @@ class HaloPlan:
     degV_own: np.ndarray  # [D, n_own, 1]
     n_interior: np.ndarray  # [D] int64 — true interior edge counts
     n_local_edges: np.ndarray  # [D] int64
+    # interior stage form: "tree" (gather levels) or "aligned" (banded
+    # MXU matmuls — community-sorted graphs; int_aligned holds the
+    # stacked fwd (V→E over owned block) and bwd (its transpose, the
+    # exact-VJP stage) uniform aligned tables)
+    local_form: str = "tree"
+    int_aligned: Optional[dict] = None  # {"fwd": {...}, "bwd": {...}, "wb_f", "wb_b"}
     _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     def device(self):
@@ -105,6 +192,14 @@ class HaloPlan:
             import jax.numpy as jnp
 
             j = jnp.asarray
+            aligned = ()
+            if self.local_form == "aligned":
+                al = self.int_aligned
+                aligned = tuple(
+                    j(al[leg][k])
+                    for leg in ("fwd", "bwd")
+                    for k in ("b_dense", "win_block", "spill_src", "b_spill")
+                )
             self._device = (
                 tuple((j(g), j(m)) for g, m in self.int_levels),
                 j(self.int_final_idx), j(self.int_final_mask),
@@ -118,6 +213,7 @@ class HaloPlan:
                 tuple((j(g), j(m)) for g, m in self.own_levels),
                 j(self.own_final_idx), j(self.own_final_mask),
                 j(self.degE), j(self.degV_own),
+                aligned,
             )
         return self._device
 
@@ -141,7 +237,13 @@ class HaloPlan:
         )
 
 
-def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
+def plan_halo(hg, n_shards: int, fan: int = 8,
+              local_form: str = "tree") -> HaloPlan:
+    """``local_form="aligned"`` builds the interior V→E stage as banded
+    MXU matmuls (uniform :class:`planner.AlignedStage`, stacked across
+    shards) instead of gather trees — the sparse fast path for
+    community-sorted graphs, composed into the distributed program.
+    Falls back to trees when any shard's interior would spill >25%."""
     D = n_shards
     bounds = edge_partition_bounds(hg, D)
     n_own = _round_up(hg.num_nodes, D) // D
@@ -151,6 +253,7 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
     touched = []  # per shard: sorted global FULL touched vertex ids
     touched_bnd = []  # per shard: sorted touched ids of boundary edges
     int_stages, bnd_stages, v_stages = [], [], []
+    int_csrs = []  # per shard: (ptr, idx) of the (sorted) interior CSR
     n_interior = np.zeros(D, dtype=np.int64)
     n_local = np.zeros(D, dtype=np.int64)
     e_pad = int((bounds[1:] - bounds[:-1]).max())
@@ -171,14 +274,24 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
         I = np.nonzero(interior)[0]
         B = np.nonzero(~interior)[0]
         n_interior[d] = len(I)
-        int_counts.append(I)
         bnd_ids.append(B)
         # --- interior stage: CSR over interior edges, owned-local ids ---
         sel_i = interior[e_of] if ne else np.zeros(0, dtype=bool)
-        ptr_i = np.zeros(max(len(I), 1) + 1, dtype=np.int64)
-        np.cumsum(sizes[I], out=ptr_i[1 : len(I) + 1])
-        idx_i = (members[sel_i] - own_lo).astype(np.int32)
-        int_stages.append(build_tree(ptr_i, idx_i, n_own, ngs, fan))
+        if local_form == "aligned":
+            loc_all = members[sel_i] - own_lo
+            I, ptr_i, idx_i = _median_sort_interior(
+                I, sizes, e_of, sel_i, loc_all, ne)
+            int_csrs.append((ptr_i, idx_i))
+            # empty placeholder tree (the aligned tables replace it)
+            int_stages.append(build_tree(
+                np.zeros(1, np.int64), np.zeros(0, np.int32), n_own,
+                ngs, fan))
+        else:
+            ptr_i = np.zeros(max(len(I), 1) + 1, dtype=np.int64)
+            np.cumsum(sizes[I], out=ptr_i[1 : len(I) + 1])
+            idx_i = (members[sel_i] - own_lo).astype(np.int32)
+            int_stages.append(build_tree(ptr_i, idx_i, n_own, ngs, fan))
+        int_counts.append(I)
         # --- boundary stage: CSR over boundary edges, compact T_bnd ----
         sel_b = ~sel_i
         Tb = np.unique(members[sel_b])
@@ -206,6 +319,35 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
     e_bnd_pad = max(int((n_local - n_interior).max()), 1)
     t_max = max(max(len(T) for T in touched), 1)
     t_bnd_max = max(max(len(T) for T in touched_bnd), 1)
+
+    int_aligned = None
+    if local_form == "aligned":
+        e_int_pad = _round_up(e_int_pad, 8)
+        wb_f = _choose_wb(int_csrs, n_own)
+        # transpose (exact-VJP direction): owned vertex ← interior edges
+        t_csrs = [
+            _transpose_csr(p, i, n_own) for p, i in int_csrs
+        ]
+        wb_b = _choose_wb(t_csrs, e_int_pad)
+        if wb_f is None or wb_b is None:
+            # interior too spill-heavy for the banded form — tree fallback
+            return plan_halo(hg, n_shards, fan, local_form="tree")
+        fwd_stages = [
+            build_aligned_stage(p, i, n_own, 128, wb_f)
+            for p, i in int_csrs
+        ]
+        bwd_stages = [
+            build_aligned_stage(p, i, e_int_pad, 128, wb_b)
+            for p, i in t_csrs
+        ]
+        int_aligned = {
+            "fwd": _stack_aligned(
+                fwd_stages, max(-(-e_int_pad // 128), 1), n_own),
+            "bwd": _stack_aligned(
+                bwd_stages, max(-(-n_own // 128), 1), e_int_pad),
+            "wb_f": wb_f,
+            "wb_b": wb_b,
+        }
 
     # assembly map: local edge slot -> concat([xe_int, xe_bnd, zero]) row
     zero_row = e_int_pad + e_bnd_pad
@@ -327,6 +469,7 @@ def plan_halo(hg, n_shards: int, fan: int = 8) -> HaloPlan:
         own_levels=own_levels, own_final_idx=own_fi, own_final_mask=own_fm,
         degE=degE, degV_own=degV_own,
         n_interior=n_interior, n_local_edges=n_local,
+        local_form=local_form, int_aligned=int_aligned,
     )
     plan.device()
     return plan

@@ -45,7 +45,7 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
         (int_levels, int_fi, int_fm, bnd_levels, bnd_fi, bnd_fm,
          asm_idx, e_cn, v_levels, v_fi, v_fm,
          send_slot, send_mask, halo_send_slot, halo_idx,
-         own_levels, own_fi, own_fm, degE, degV_own) = _sq(pl)
+         own_levels, own_fi, own_fm, degE, degV_own, aligned) = _sq(pl)
         x_blk = x_blk  # [n_own, F] owned rows
         f = x_blk.shape[1]
         # 1. halo out (as owner): gather rows for each dst, all_to_all
@@ -56,9 +56,29 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
             halo_out, EDGE_AXIS, split_axis=0, concat_axis=0, tiled=False
         )  # [D, b_cap_h, F]: block i = rows from owner i
         # 2a. INTERIOR V→E: reads x_blk only — no data dependence on the
-        # all_to_all, so the latency-hiding scheduler can run this tree
-        # between the collective's start/done pair (the overlap workload)
-        xe_int = _apply_levels(x_blk, int_levels, int_fi, int_fm)
+        # all_to_all, so the latency-hiding scheduler can run this work
+        # between the collective's start/done pair (the overlap workload).
+        # Two forms: gather tree, or (community-sorted graphs) banded
+        # aligned MXU matmuls with the exact-VJP transpose stage.
+        if plan.local_form == "aligned":
+            from hypergef_tpu.ops.tree import AlignedStageDev, tree_matvec
+
+            af_bd, af_wb, af_ss, af_bs, ab_bd, ab_wb, ab_ss, ab_bs = aligned
+            fwd = AlignedStageDev(
+                b_dense=af_bd, win_block=af_wb, spill_src=af_ss,
+                b_spill=af_bs, counts=degE[:, 0],
+                num_inputs=plan.n_own, num_segments=plan.e_int_pad,
+                group_rows=128, window_blocks=plan.int_aligned["wb_f"],
+            )
+            bwd = AlignedStageDev(
+                b_dense=ab_bd, win_block=ab_wb, spill_src=ab_ss,
+                b_spill=ab_bs, counts=degV_own[:, 0],
+                num_inputs=plan.e_int_pad, num_segments=plan.n_own,
+                group_rows=128, window_blocks=plan.int_aligned["wb_b"],
+            )
+            xe_int = tree_matvec(x_blk, fwd, bwd)
+        else:
+            xe_int = _apply_levels(x_blk, int_levels, int_fi, int_fm)
         # 2b. boundary V→E over the (smaller) halo'd touched set
         x_t = jnp.take(halo_in.reshape(d_ * b_cap_h, f), halo_idx, axis=0)
         xe_bnd = _apply_levels(x_t, bnd_levels, bnd_fi, bnd_fm)

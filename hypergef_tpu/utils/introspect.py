@@ -27,6 +27,7 @@ from jax.extend.core import Literal as _Literal
 _COMPUTE_PRIMS = {
     "gather", "take", "dot_general", "reduce_sum", "add", "mul",
     "concatenate", "convert_element_type", "jit", "pjit", "closed_call",
+    "custom_vjp_call", "custom_vjp_call_jaxpr", "custom_jvp_call",
 }
 
 

@@ -100,13 +100,23 @@ def analyze(hg, d, feat, ici_gbps, ns_per_nnz):
     )
     # fraction of local-edge V→E work independent of the halo collective
     # (the latency-hiding scheduler's overlap budget)
+    ifrac = plan.interior_fraction()
+    # compute model: interior edges run the aligned banded stage when
+    # the graph supports it (~4 ns/nnz measured at 12.5M-nnz shard
+    # scale, scale_projection_r2.csv) — boundary edges stay gather trees
+    ns_aligned = 4.0
+    nnz_d = hg.nnz / d
+    t_aligned = (
+        nnz_d * (ifrac * ns_aligned + (1 - ifrac) * ns_per_nnz) * 1e-3
+    )
     return plan, {
         "comm_frac": comm_frac,
         "total_MB": total_bytes / 1e6,
         "max_link_MB": max_link / 1e6,
         "t_ici_us": max_link / (ici_gbps * 1e9) * 1e6,
-        "t_compute_us": hg.nnz / d * ns_per_nnz * 1e-3,
-        "interior_frac": plan.interior_fraction(),
+        "t_compute_us": nnz_d * ns_per_nnz * 1e-3,
+        "t_compute_aligned_us": t_aligned,
+        "interior_frac": ifrac,
     }
 
 
@@ -139,7 +149,8 @@ def main():
         f"# ici_gbps={args.ici_gbps} ns_per_nnz={args.ns_per_nnz} "
         f"feat={args.feat} nnz_per_shard={args.nnz_per_shard}",
         "graph,shards,nnz,comm_frac,interior_frac,total_MB,max_link_MB,"
-        "t_ici_us,t_compute_us,comm_over_compute,wall_ms",
+        "t_ici_us,t_compute_us,t_compute_aligned_us,comm_over_compute,"
+        "wall_ms",
     ]
     for kind in ("random", "clustered"):
         for d in map(int, args.shards.split(",")):
@@ -160,6 +171,7 @@ def main():
                    f"{m['interior_frac']:.4f},"
                    f"{m['total_MB']:.3f},{m['max_link_MB']:.3f},"
                    f"{m['t_ici_us']:.2f},{m['t_compute_us']:.2f},"
+                   f"{m['t_compute_aligned_us']:.2f},"
                    f"{ratio:.3f},{wall}")
             rows.append(row)
             print(row, flush=True)

@@ -459,6 +459,12 @@ class AggregationPlan:
 # well above cora=7.3e6 and dense is also memory-bounded by N*E*2 bytes).
 DENSE_AUTO_THRESHOLD = 32_000_000
 
+# nnz below which the cumsum backend (MXU block-scan prefix) beats the
+# gather tree on graphs with no exploitable structure — measured
+# crossover between 85k (cumsum 1.39× faster) and 175k (~tied)
+# (scripts/probe_cumsum_crossover.py, TPU v5e).
+CUMSUM_PREFER_NNZ = 1 << 17
+
 # N² entries below which the precomputed propagation matrix
 # A = diag(degV)·H·diag(degE)·Hᵀ is materialized (bf16).  This is the
 # reference's SpGEMM-precompute strategy (include/spgemm/spgemm.cuh)
@@ -558,6 +564,14 @@ def plan_aggregation(
             preferred = "aligned"
         except (ValueError, MemoryError):
             aligned = None  # not community-sorted: spill too high
+    if preferred == "tree" and hg.nnz <= CUMSUM_PREFER_NNZ:
+        # Small uniform-random graphs beyond the dense regime: the
+        # cumsum backend (with the MXU block-scan prefix,
+        # ops/segments._prefix_sum) beats the gather tree — measured
+        # tree/cumsum 1.39× at 85k nnz, ~tied at 175k, tree wins 2.1×
+        # at 250k (scripts/probe_cumsum_crossover.py, TPU v5e).  The
+        # tree plan stays available for explicit override / max aggr.
+        preferred = "cumsum"
     multihot = None
     if with_multihot or (
         with_multihot is None and dense is None and preferred == "tree"

@@ -97,3 +97,19 @@ def test_plan_tiles_waste_reasonable(skewed_hg):
     assert plan.padding_waste() < 0.9  # sanity: auto ngs keeps some density
     assert plan.edge_table.num_segments == skewed_hg.num_edges
     assert plan.vertex_table.num_segments == skewed_hg.num_nodes
+
+
+def test_auto_ladder_prefers_cumsum_small_random():
+    """Uniform-random graphs beyond the dense/precomp regimes but under
+    CUMSUM_PREFER_NNZ land on the cumsum backend (measured faster than
+    the gather tree below ~131k nnz, probe_cumsum_crossover.py)."""
+    from hypergef_tpu.data.synthetic import random_hypergraph
+    from hypergef_tpu.sparse.planner import CUMSUM_PREFER_NNZ, plan_aggregation
+
+    hg = random_hypergraph(10_000, 10_000, avg_edge_size=4.0, seed=0)
+    assert hg.nnz <= CUMSUM_PREFER_NNZ
+    plan = plan_aggregation(hg)
+    assert plan.dense is None and plan.precomp is None
+    assert plan.preferred_backend == "cumsum"
+    # the tree plan stays available for explicit override / max aggr
+    assert plan.tree is not None

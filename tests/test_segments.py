@@ -24,6 +24,38 @@ def test_segment_sum_sorted_basic():
     np.testing.assert_allclose(out, want)
 
 
+def test_mxu_block_scan_path_matches_oracle():
+    """Exercise the blockwise MXU prefix path (rows >= _SCAN_MIN_ROWS),
+    including a non-multiple-of-128 length and empty segments."""
+    rng = np.random.default_rng(3)
+    nnz = segments._SCAN_MIN_ROWS + 517  # force the matmul path, ragged tail
+    f = 5
+    vals = rng.normal(size=(nnz, f)).astype(np.float32)
+    bounds = np.sort(rng.choice(nnz, size=299, replace=False))
+    indptr = np.concatenate([[0], bounds, bounds[-1:], [nnz]]).astype(np.int32)
+    out = np.asarray(
+        segments.segment_sum_sorted(jnp.asarray(vals), jnp.asarray(indptr))
+    )
+    want = np.add.reduceat(
+        np.concatenate([vals, np.zeros((1, f), np.float32)]), indptr[:-1], axis=0
+    )
+    # reduceat yields the next segment's value for empty segments; fix those up
+    empty = indptr[1:] == indptr[:-1]
+    want[empty] = 0.0
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+    # the small-input path (plain cumsum) agrees with the same oracle
+    small = np.asarray(
+        segments.segment_sum_sorted(
+            jnp.asarray(vals[:1000]),
+            jnp.asarray(np.array([0, 3, 3, 700, 1000], np.int32)),
+        )
+    )
+    want_small = np.stack(
+        [vals[0:3].sum(0), np.zeros(f), vals[3:700].sum(0), vals[700:1000].sum(0)]
+    )
+    np.testing.assert_allclose(small, want_small, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("aggr", ["sum", "mean"])
 def test_cumsum_backend_matches_xla(skewed_hg, aggr):
     hg = skewed_hg

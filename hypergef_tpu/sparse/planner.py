@@ -1232,8 +1232,13 @@ def build_aligned_stage_bucketed(
     spill_limit: int = 1 << 28,
     block_rows: int = ALIGNED_BLOCK,
     spill_fudge: int = 256,
+    spill_pad_pow2: bool = False,
 ) -> AlignedStageB:
-    """Build one direction's bucketed aligned stage (:class:`AlignedStageB`)."""
+    """Build one direction's bucketed aligned stage (:class:`AlignedStageB`).
+
+    ``spill_pad_pow2=True`` restores the round-2 pow2/coarse-merge spill
+    widths (kept for A/B measurement; the multiple-of-8 default measured
+    less padded-slot gather waste)."""
     indptr = np.asarray(indptr, dtype=np.int64)
     indices = np.asarray(indices, dtype=np.int64)
     S = len(indptr) - 1
@@ -1321,10 +1326,20 @@ def build_aligned_stage_bucketed(
     m_total = 0
     spill_slot = np.zeros(n_groups, dtype=np.int32)
     if len(spilling):
-        sw_of = 1 << np.ceil(
-            np.log2(np.maximum(per_g[spilling], 1))
-        ).astype(np.int64)
-        sw_of = _merge_small_buckets(sw_of, max(8, len(spilling) // 8))
+        # width = count rounded up to a multiple of 8 (sublane edge), NOT
+        # pow2: every padded slot is a real per-row gather (~6-8 ns even
+        # for the zero row), and pow2 + coarse merging measured 1.4-1.8x
+        # pad on SBM-60k.  A looser merge keeps more distinct widths —
+        # each bucket is one extra (tiny) gather+dot in the SAME program,
+        # not an extra dispatch.
+        if spill_pad_pow2:
+            sw_of = 1 << np.ceil(
+                np.log2(np.maximum(per_g[spilling], 1))
+            ).astype(np.int64)
+            sw_of = _merge_small_buckets(sw_of, max(8, len(spilling) // 8))
+        else:
+            sw_of = -(-per_g[spilling] // 8) * 8
+            sw_of = _merge_small_buckets(sw_of, max(4, len(spilling) // 16))
         total_entries = int(G * sw_of.sum())
         if total_entries > spill_limit:
             raise MemoryError(

@@ -92,11 +92,15 @@ def _get(plan, attr):
 
 
 # ----------------------------------------------------------------------
-# dense-MXU backend (small graphs): two bf16 matmuls with f32 accum
+# dense-MXU backend: two bf16 matmuls with f32 accum.  H is stored int8
+# and cast at the dot — XLA fuses the i8→bf16 convert into the operand
+# read, so the table streams at its int8 byte size (measured exactly 2×
+# the bf16 form; scripts/probe_dense_int8.py, TPU v5e).
 # ----------------------------------------------------------------------
 def _dense_v2e(h, x, aggr, hgd):
     xe = jax.lax.dot_general(
-        h, x.astype(h.dtype), (((0,), (0,)), ((), ())),
+        h.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # Hᵀ X : [E, F]
     if aggr == "mean":
@@ -107,7 +111,8 @@ def _dense_v2e(h, x, aggr, hgd):
 
 def _dense_e2v(h, xe):
     return jax.lax.dot_general(
-        h, xe.astype(h.dtype), (((1,), (0,)), ((), ())),
+        h.astype(jnp.bfloat16), xe.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # H Xe : [N, F]
 

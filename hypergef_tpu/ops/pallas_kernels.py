@@ -210,7 +210,11 @@ def hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan, interpret=False):
         cnt = (hgd.ht_indptr[1:] - hgd.ht_indptr[:-1]).astype(x.dtype)[:, None]
         scale_e = scale_e / jnp.maximum(cnt, 1.0)
     interpret = interpret or jax.default_backend() == "cpu"
-    return _fused_dense_op(dense.h, x, scale_e, hgd.degV, interpret)
+    # DenseIncidence stores int8 (round 2); the Pallas kernel consumes
+    # real bf16 blocks, so materialize the cast here (explicit backend
+    # only — the auto ladder routes to the XLA dense path instead)
+    return _fused_dense_op(
+        dense.h.astype(jnp.bfloat16), x, scale_e, hgd.degV, interpret)
 
 
 def unignn_aggregate_pallas(hgd, x, use_deg, plan, interpret=False):
@@ -227,4 +231,5 @@ def unignn_aggregate_pallas(hgd, x, use_deg, plan, interpret=False):
     scale_e = hgd.degE if use_deg else ones_e
     scale_v = hgd.degV if use_deg else ones_v
     interpret = interpret or jax.default_backend() == "cpu"
-    return _fused_dense_op(dense.h, x, scale_e, scale_v, interpret)
+    return _fused_dense_op(
+        dense.h.astype(jnp.bfloat16), x, scale_e, scale_v, interpret)

@@ -414,25 +414,43 @@ def plan_tree(hg, ngs: Optional[int] = None, ngs_vertex: Optional[int] = None,
 
 @dataclasses.dataclass
 class DenseIncidence:
-    """Dense |V|×|E| H in bf16 for the MXU matmul backend (small graphs).
+    """Dense |V|×|E| H stored **int8** for the MXU matmul backend.
 
     On-chip measurement (scripts/bench_strategies.py): for cora-sized
-    graphs the dense bf16 two-stage matmul beats every sparse formulation
+    graphs the dense two-stage matmul beats every sparse formulation
     by ~10× — MXU flops are cheaper than any gather orchestration below
     ~10⁷ H entries.  The analogue of the reference's kernel auto-select
     picking the dense-ish shm path for dense rows (hgnnAgg.cuh:1138-1157).
+
+    int8 storage (round 2, probe_dense_int8.py): the i8→bf16 convert
+    fuses into the ``dot_general`` operand read — the table streams at
+    its int8 byte size (~730 GB/s effective, exactly 2× the bf16 form:
+    429 vs 873 µs on the pubmed shape).  Entries are exact 0/1 incidence
+    counts, so no precision change vs bf16.  This both halves the
+    small-graph dense cost and extends the dense regime to mid-size
+    *unstructured* graphs that the gather-bound sparse paths serve
+    poorly (see ``DENSE_STREAM_VS_GATHER``).
     """
 
-    h: "object"  # jnp [N, E] bf16
+    h: "object"  # jnp [N, E] int8 counts (cast to bf16 at the dot)
     num_nodes: int
     num_edges: int
 
     @classmethod
     def from_hypergraph(cls, hg, dtype=None):
         import jax.numpy as jnp
+        import numpy as np
 
-        dtype = dtype or jnp.bfloat16
-        h = jnp.asarray(hg.to_scipy().toarray(), dtype=dtype)
+        dtype = dtype or jnp.int8
+        arr = hg.to_scipy().toarray()
+        if dtype == jnp.int8:
+            if arr.size and arr.max() > 127:
+                raise MemoryError(
+                    ">127 duplicate incidences in one (vertex, edge) pair "
+                    "— not an incidence matrix?"
+                )
+            arr = arr.astype(np.int8)
+        h = jnp.asarray(arr, dtype=dtype)
         return cls(h=h, num_nodes=hg.num_nodes, num_edges=hg.num_edges)
 
 
@@ -456,8 +474,23 @@ class AggregationPlan:
 
 
 # H entries below which the dense-MXU backend wins (measured crossover is
-# well above cora=7.3e6 and dense is also memory-bounded by N*E*2 bytes).
+# well above cora=7.3e6 and dense is also memory-bounded by N*E bytes —
+# int8 tables since round 2).
 DENSE_AUTO_THRESHOLD = 32_000_000
+
+# Unstructured graphs beyond the small-dense regime: streaming the int8
+# incidence through the MXU (~630-770 GB/s effective, aspect-dependent)
+# beats the per-nnz gather paths while N*E stays small relative to nnz.
+# Measured (probe_dense_int8.py, TPU v5e, f=32), ratio = N*E/nnz:
+#   pubmed-random   ratio 1832 -> dense-i8 429 us vs cumsum 648 us (1.5x)
+#   ModelNet-random ratio 1270 -> 481 us vs tree 1196 us (2.5x)
+#   10k^2, 40k nnz  ratio 2500 -> 260 vs 302 us (noisy near-tie)
+#   30kx8k, 60k nnz ratio 4000 -> 936 vs 457 us (cumsum 2x)
+# Gate at 2000: route to dense only where it clearly wins; near-tie
+# shapes stay on the gather ladder.  The entry cap bounds the host
+# build + HBM table (0.8 GB ~ 2.2 ms -- past that tree wins anyway).
+DENSE_STREAM_VS_GATHER = 2000
+DENSE_STREAM_MAX_ENTRIES = 800_000_000
 
 # nnz below which the cumsum backend (MXU block-scan prefix) beats the
 # gather tree on graphs with no exploitable structure — measured
@@ -564,6 +597,17 @@ def plan_aggregation(
             preferred = "aligned"
         except (ValueError, MemoryError):
             aligned = None  # not community-sorted: spill too high
+    if (
+        dense is None
+        and dense_threshold > 0
+        and preferred == "tree"
+        and hg.num_nodes * hg.num_edges <= DENSE_STREAM_MAX_ENTRIES
+        and hg.num_nodes * hg.num_edges < DENSE_STREAM_VS_GATHER * max(hg.nnz, 1)
+    ):
+        # unstructured graph (aligned refused), mid-size incidence:
+        # streaming the int8 H beats per-nnz gathers (constants above)
+        dense = DenseIncidence.from_hypergraph(hg)
+        preferred = "dense"
     if preferred == "tree" and hg.nnz <= CUMSUM_PREFER_NNZ:
         # Small uniform-random graphs beyond the dense regime: the
         # cumsum backend (with the MXU block-scan prefix,

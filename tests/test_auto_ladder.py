@@ -46,3 +46,29 @@ def test_every_preference_is_runnable(small_hg):
     x = jnp.ones((small_hg.num_nodes, 4), jnp.float32)
     out = fused.hgnn_aggregate(hgd, x, None, "sum", plan=plan, backend="auto")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_midsize_unstructured_prefers_dense_stream():
+    """Round-2: unstructured graphs past the small-dense gate but with
+    N*E small relative to nnz route to the int8 dense-stream backend
+    (measured 1.5-2.5x the gather paths; probe_dense_int8.py)."""
+    import jax.numpy as jnp
+
+    # N*E = 64M > DENSE_AUTO_THRESHOLD, N^2 > PRECOMP cap, ratio
+    # N*E/nnz ~ 1600 < DENSE_STREAM_VS_GATHER
+    hg = random_hypergraph(16_000, 4_000, avg_edge_size=10.0, seed=0)
+    assert hg.num_nodes * hg.num_edges > 32_000_000
+    plan = plan_aggregation(hg)
+    assert plan.preferred_backend == "dense"
+    assert plan.dense is not None
+    assert plan.dense.h.dtype == jnp.int8
+
+
+def test_midsize_unstructured_high_ratio_stays_on_gather_ladder():
+    """Sparse relative to its bounding box (ratio >> crossover): the
+    dense stream would lose; the gather ladder keeps the pick."""
+    hg = random_hypergraph(30_000, 8_000, avg_edge_size=3.0, seed=0)
+    # ratio = 240M / ~24k nnz ~ 10000
+    plan = plan_aggregation(hg)
+    assert plan.preferred_backend in ("tree", "cumsum")
+    assert plan.dense is None

@@ -115,8 +115,10 @@ def test_auto_backend_routes(small_hg):
     hg = small_hg
     hgd = hg.device_data()
     plan = plan_aggregation(hg, dense_threshold=0, with_bsr=False,
-                            with_precomp=False, with_aligned=False)  # force tree
-    assert plan.preferred_backend == "tree"
+                            with_precomp=False, with_aligned=False)
+    # matmul-form backends disabled → the gather ladder picks: cumsum for
+    # small random graphs (CUMSUM_PREFER_NNZ), tree above it
+    assert plan.preferred_backend in ("tree", "cumsum")
     x = rand_x(hg, f=4, seed=6)
     got = fused.hgnn_aggregate(hgd, x, None, "sum", plan=plan, backend="auto")
     want = dense_hgnn_oracle(hg, x, None, "sum")

@@ -112,7 +112,13 @@ def bench_kernel(args):
 
     shapes = {
         "cora": dict(n=2708, e=2708, avg=4.0, ref_ms=REF_CORA_FUSED_MS),
+        # square round-1 convention (kept for cross-round comparability)
         "pubmed": dict(n=19717, e=19717, avg=4.3, ref_ms=0.012484),
+        # the reference dataset's actual incidence box: 19717 vertices x
+        # 7963 cocitation hyperedges (dataloader.py:31, AllSet), same
+        # ~85k nnz — mid-size unstructured, routes to the int8 dense
+        # stream (probe_dense_int8.py)
+        "pubmed_real": dict(n=19717, e=7963, avg=10.8, ref_ms=0.012484),
         "big": dict(n=100_000, e=50_000, avg=10.0, ref_ms=None),
         # community-structured workload (the realistic sparse regime —
         # every real hypergraph in the reference's suite is clustered);
@@ -190,7 +196,7 @@ def main():
         rec = bench_e2e(args)
         import copy
 
-        for leg, cfg in (("sparse_kernel", "pubmed"),
+        for leg, cfg in (("sparse_kernel", "pubmed_real"),
                          ("clustered_kernel", "clustered")):
             try:
                 kargs = copy.copy(args)

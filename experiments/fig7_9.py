@@ -41,7 +41,12 @@ def main():
     shapes = {
         "cora": (2708, 2708, 4.0),
         "citeseer": (3312, 3312, 3.2),
+        # "pubmed" kept the square round-1 convention for cross-round
+        # comparability; "pubmed_real" matches the reference dataset's
+        # actual incidence box (19717 vertices x 7963 cocitation
+        # hyperedges, AllSet/dataloader.py:31) at the same ~85k nnz
         "pubmed": (19717, 19717, 4.3),
+        "pubmed_real": (19717, 7963, 10.8),
         "big": (100_000, 50_000, 10.0),
     }
     with open(args.out, "a") as f:

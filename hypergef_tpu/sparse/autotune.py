@@ -86,7 +86,17 @@ def default_candidates(hg) -> list:
         ("tree", {"ngs": 32}),
     ]
     n_entries = hg.num_nodes * hg.num_edges
-    if n_entries <= 32_000_000:
+    from hypergef_tpu.sparse import planner as _plc
+
+    # small-dense gate OR the int8 dense-stream regime (round 2:
+    # unstructured mid-size graphs measured faster streaming the int8
+    # incidence than gathering — sweep it wherever the table fits; a 2x
+    # looser ratio than the analytic ladder gate so the sweep can catch
+    # shapes the model mis-prices)
+    if n_entries <= 32_000_000 or (
+        n_entries <= _plc.DENSE_STREAM_MAX_ENTRIES
+        and n_entries < 2 * _plc.DENSE_STREAM_VS_GATHER * max(hg.nnz, 1)
+    ):
         cands.append(("dense", {}))
     if hg.num_nodes * hg.num_nodes <= 80_000_000:
         cands.append(("precomp", {}))

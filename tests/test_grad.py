@@ -97,3 +97,29 @@ def test_ell_backend_grad_matches_xla(skewed_hg, aggr):
     np.testing.assert_allclose(
         np.asarray(loss("ell")), np.asarray(loss("xla")), rtol=1e-3, atol=1e-3
     )
+
+
+@pytest.mark.parametrize("aggr", ["sum", "mean"])
+def test_dense_int8_backend_grad_matches_xla(small_hg, aggr):
+    """The int8 DenseIncidence (round 2) differentiates wrt x through
+    the fused i8->bf16 cast at the dot — gradient must match the f32
+    gather path within the bf16-matmul tolerance class."""
+    from hypergef_tpu.sparse.planner import plan_aggregation
+
+    hg = small_hg
+    hgd = hg.device_data()
+    plan = plan_aggregation(hg)
+    assert plan.dense is not None and str(plan.dense.h.dtype) == "int8"
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(hg.num_nodes, 6)).astype(np.float32))
+
+    def grad_of(backend):
+        def f(xv):
+            out = fused.hgnn_aggregate(
+                hgd, xv, None, aggr, plan=plan, backend=backend)
+            return jnp.sum(out**2)
+        return np.asarray(jax.grad(f)(x))
+
+    g_dense, g_xla = grad_of("dense"), grad_of("xla")
+    scale = np.abs(g_xla).max() + 1e-9
+    np.testing.assert_allclose(g_dense / scale, g_xla / scale, atol=3e-2)

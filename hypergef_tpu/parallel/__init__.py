@@ -7,6 +7,12 @@ from hypergef_tpu.parallel.dist_aggr import (
     sharded_hgnn_aggregate,
     sharded_unignn_aggregate,
 )
+from hypergef_tpu.parallel.dense_shard import (
+    ShardedDensePlan,
+    plan_sharded_dense,
+    sharded_dense_hgnn_aggregate,
+    sharded_dense_unignn_aggregate,
+)
 from hypergef_tpu.parallel.mesh import make_mesh
 from hypergef_tpu.parallel.multihost import (
     init_distributed,
@@ -35,6 +41,10 @@ __all__ = [
     "plan_sharded_aggregation",
     "sharded_hgnn_aggregate",
     "sharded_unignn_aggregate",
+    "ShardedDensePlan",
+    "plan_sharded_dense",
+    "sharded_dense_hgnn_aggregate",
+    "sharded_dense_unignn_aggregate",
     "make_mesh",
     "init_distributed",
     "make_hybrid_mesh",

@@ -80,11 +80,11 @@ def main():
 
     for d in (2, 8):
         dsplan = plan_sharded_dense(hg, d)
-        h_slice = jnp.asarray(dsplan.h[0])  # [N, e_pad] int8
+        h_slice = jnp.asarray(dsplan.h[0])  # [N, e_pad(/2)] int8 (carrier)
         scale = jnp.asarray(dsplan.degE[0])
 
         def slice_step(a, h_, s_):
-            y = _two_stage_local(h_, a, s_)
+            y = _two_stage_local(h_, a, s_, dsplan.packed)
             return chain_fold(y, a)
 
         r = device_time_per_iter(slice_step, x0, iters=15,
@@ -101,7 +101,8 @@ def main():
               f"{total:.0f} us/layer ({tree_us/total:.1f}x single-chip tree)",
               flush=True)
         rows.append(
-            f"dense_shard,dense_i8,{d},{comp_us:.1f},{psum_us:.1f},{total:.1f}"
+            f"dense_shard,dense_{'i4' if dsplan.packed else 'i8'},{d},"
+            f"{comp_us:.1f},{psum_us:.1f},{total:.1f}"
         )
 
     with open(out_path, "w") as f:

@@ -23,6 +23,7 @@ The default backend is process-global and overridable per call.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -92,29 +93,53 @@ def _get(plan, attr):
 
 
 # ----------------------------------------------------------------------
-# dense-MXU backend: two bf16 matmuls with f32 accum.  H is stored int8
-# and cast at the dot — XLA fuses the i8→bf16 convert into the operand
-# read, so the table streams at its int8 byte size (measured exactly 2×
-# the bf16 form; scripts/probe_dense_int8.py, TPU v5e).
+# dense-MXU backend: two bf16 matmuls with f32 accum.  H is stored as a
+# packed-int4 nibble carrier (or int8, DenseIncidence.packed=False) and
+# cast at the dot — XLA fuses the iN→bf16 convert into the operand read,
+# so the table streams at its STORAGE byte size (int8 measured exactly
+# 2× the bf16 form, int4 2× again; scripts/probe_dense_int{8,4}.py,
+# TPU v5e).  The dots are wrapped in *inline* jits so the S4 re-view in
+# DenseIncidence.table() always happens under a trace — eager S4
+# intermediates crash the axon TPU plugin (RecursionError in
+# _array_shard_arg); inside a caller's jit the inline wrapper is a
+# no-op.
 # ----------------------------------------------------------------------
-def _dense_v2e(h, x, aggr, hgd):
-    xe = jax.lax.dot_general(
+@partial(jax.jit, static_argnums=(2, 3, 4, 5), inline=True)
+def _dense_dot(h, x, n, e, packed, contract_left):
+    if packed:  # int8 nibble carrier [N, ceil(E/2)] → S4 [N, E]
+        # Barrier BEFORE the bitcast: XLA CONSTANT-FOLDS the S4 bitcast
+        # of a closure-captured carrier INCORRECTLY (wrong nibble
+        # values, observed on CPU 2026-08-18; argument-passed carriers
+        # are fine).  Barrier AFTER: letting the bitcast fuse into the
+        # dot operand read hits a 10× SLOW path (≈3.8–5.0 ms vs 0.3 ms
+        # on 150–225M-entry tables, /tmp/probe_s4_var.py interleaved);
+        # forcing the S4 table to MATERIALIZE gives the dots the native
+        # packed loader (~2× the i8 stream, every shape tested).
+        h = jax.lax.optimization_barrier(h)
+        h = jax.lax.bitcast_convert_type(h, jnp.int4).reshape(n, -1)
+        h = jax.lax.optimization_barrier(h)[:, :e]
+    dim = 0 if contract_left else 1
+    return jax.lax.dot_general(
         h.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())),
+        (((dim,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # Hᵀ X : [E, F]
+    )
+
+
+def _dense_v2e(dense, x, aggr, hgd):
+    # Hᵀ X : [E, F]
+    xe = _dense_dot(dense.h, x, dense.num_nodes, dense.num_edges,
+                    getattr(dense, "packed", False), True)
     if aggr == "mean":
         cnt = (hgd.ht_indptr[1:] - hgd.ht_indptr[:-1]).astype(jnp.float32)
         xe = xe / jnp.maximum(cnt, 1.0)[:, None]
     return xe
 
 
-def _dense_e2v(h, xe):
-    return jax.lax.dot_general(
-        h.astype(jnp.bfloat16), xe.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # H Xe : [N, F]
+def _dense_e2v(dense, xe):
+    # H Xe : [N, F]
+    return _dense_dot(dense.h, xe, dense.num_nodes, dense.num_edges,
+                      getattr(dense, "packed", False), False)
 
 
 # ----------------------------------------------------------------------
@@ -193,7 +218,7 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
     if wdiag is not None:
         xe = xe * wdiag
     if b == "dense" and getattr(plan, "dense", None) is not None:
-        xv = _dense_e2v(plan.dense.h, xe)
+        xv = _dense_e2v(plan.dense, xe)
     elif b == "cumsum":
         xv = _cumsum_e2v(hgd, xe)
     elif isinstance(v_stage, TiledStageDev):
@@ -279,12 +304,12 @@ def hgnn_aggregate(
             ps = plan  # raw pallas-form TreePlan passed directly
         return tree_ops.hgnn_aggregate_tree(hgd, x, wdiag, first_aggr, ps)
     if b == "dense":
-        h = _get(plan, "dense").h
-        xe = _dense_v2e(h, x, first_aggr, hgd)
+        dense = _get(plan, "dense")
+        xe = _dense_v2e(dense, x, first_aggr, hgd)
         xe = xe * hgd.degE
         if wdiag is not None:
             xe = xe * wdiag
-        return _dense_e2v(h, xe) * hgd.degV
+        return _dense_e2v(dense, xe) * hgd.degV
     if b == "ell":
         pd = _get(plan, "tile").device()
         xe = _ell_stage(
@@ -369,11 +394,11 @@ def unignn_aggregate(
             ps = plan
         return tree_ops.unignn_aggregate_tree(hgd, x, use_deg, ps)
     if b == "dense":
-        h = _get(plan, "dense").h
-        xe = _dense_v2e(h, x, "sum", hgd)
+        dense = _get(plan, "dense")
+        xe = _dense_v2e(dense, x, "sum", hgd)
         if use_deg:
             xe = xe * hgd.degE
-        xv = _dense_e2v(h, xe)
+        xv = _dense_e2v(dense, xe)
         if use_deg:
             xv = xv * hgd.degV
         return xv

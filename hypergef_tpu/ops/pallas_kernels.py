@@ -37,6 +37,24 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3), inline=True)
+def _unpack_bf16(h, n, e, packed):
+    if packed:  # int8 nibble carrier → S4 [N, E] (trace-only; see planner)
+        # pre-barrier: XLA mis-constant-folds S4 bitcasts of closure
+        # constants; post-barrier: the fused bitcast→dot form is 10×
+        # slow — materialize the S4 table (see ops/fused._dense_dot)
+        h = jax.lax.optimization_barrier(h)
+        h = jax.lax.bitcast_convert_type(h, jnp.int4).reshape(n, -1)
+        h = jax.lax.optimization_barrier(h)[:, :e]
+    return h.astype(jnp.bfloat16)
+
+
+def _dense_bf16(dense: DenseIncidence):
+    """Materialize the bf16 [N, E] table from any DenseIncidence storage."""
+    return _unpack_bf16(dense.h, dense.num_nodes, dense.num_edges,
+                        getattr(dense, "packed", False))
+
+
 def fused_dense_two_stage(h_bf16, x, scale_e, scale_v, *, interpret=False,
                           e_tile=256, n_tile=256):
     """out = scale_v ⊙ (H @ (scale_e ⊙ (Hᵀ @ X))).
@@ -210,11 +228,12 @@ def hgnn_aggregate_pallas(hgd, x, wdiag, first_aggr, plan, interpret=False):
         cnt = (hgd.ht_indptr[1:] - hgd.ht_indptr[:-1]).astype(x.dtype)[:, None]
         scale_e = scale_e / jnp.maximum(cnt, 1.0)
     interpret = interpret or jax.default_backend() == "cpu"
-    # DenseIncidence stores int8 (round 2); the Pallas kernel consumes
-    # real bf16 blocks, so materialize the cast here (explicit backend
-    # only — the auto ladder routes to the XLA dense path instead)
+    # DenseIncidence stores packed int4 / int8 (round 2); the Pallas
+    # kernel consumes real bf16 blocks, so materialize the cast here
+    # (explicit backend only — the auto ladder routes to the XLA dense
+    # path instead)
     return _fused_dense_op(
-        dense.h.astype(jnp.bfloat16), x, scale_e, hgd.degV, interpret)
+        _dense_bf16(dense), x, scale_e, hgd.degV, interpret)
 
 
 def unignn_aggregate_pallas(hgd, x, use_deg, plan, interpret=False):
@@ -232,4 +251,4 @@ def unignn_aggregate_pallas(hgd, x, use_deg, plan, interpret=False):
     scale_v = hgd.degV if use_deg else ones_v
     interpret = interpret or jax.default_backend() == "cpu"
     return _fused_dense_op(
-        dense.h.astype(jnp.bfloat16), x, scale_e, scale_v, interpret)
+        _dense_bf16(dense), x, scale_e, scale_v, interpret)

@@ -21,7 +21,9 @@ SBM-60k-scale unstructured graph (1.8 GB int8, hopeless single-chip)
 becomes ~225 MB/chip ≈ 640 µs of stream + a ~170 µs ICI psum on 8
 chips, vs 4.3 ms for the single-chip tree (measured) — the "scaling the
 structureless worst case" answer that the halo path (comm ∝ cut; cut is
-~everything on random graphs) cannot give.
+~everything on random graphs) cannot give.  (A packed-int4 slice form
+exists behind ``packed=True`` — recorded NEGATIVE result for per-layer
+use, see :func:`plan_sharded_dense`.)
 
 Reference analogue: none — the reference is single-GPU (SURVEY.md
 §2.9); the closest intra-GPU idea is its dense-row shm kernel
@@ -48,16 +50,22 @@ DENSE_SHARD_MAX_BYTES = 2 << 30
 
 @dataclasses.dataclass
 class ShardedDensePlan:
-    """Stacked int8 H slices, one per device (leading axis = mesh "e")."""
+    """Stacked int8 H slices, one per device (leading axis = mesh "e").
+
+    ``packed=True`` (explicit opt-in, see :func:`plan_sharded_dense`):
+    ``h`` is a [D, N, e_pad/2] int8 **nibble carrier** (low nibble =
+    even local column), re-viewed as S4 inside the shard_map body.
+    """
 
     n_shards: int
     num_nodes: int
     num_edges: int
     e_pad: int
     edge_bounds: np.ndarray  # [n_shards+1] global hyperedge cuts
-    h: np.ndarray  # [D, N, e_pad] int8 (padded columns all-zero)
+    h: np.ndarray  # [D, N, e_pad] int8 counts, or [D, N, e_pad/2] packed
     degE: np.ndarray  # [D, e_pad, 1] f32
     counts: np.ndarray  # [D, e_pad, 1] f32 — members per local edge
+    packed: bool = False
     _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     def device(self):
@@ -81,25 +89,34 @@ class ShardedDensePlan:
         return out
 
     def table_bytes_per_device(self) -> int:
-        return self.num_nodes * self.e_pad  # int8
+        return self.num_nodes * (self.e_pad // 2 if self.packed else self.e_pad)
 
 
 def plan_sharded_dense(
     hg: Hypergraph,
     n_shards: int,
     max_bytes_per_device: int = DENSE_SHARD_MAX_BYTES,
+    packed: bool = False,
 ) -> ShardedDensePlan:
     """Build the stacked int8 slice plan for an ``n_shards``-way
     edge-contiguous partition (cuts from :func:`edge_partition_bounds`,
-    so nnz — and with it the *useful* table mass — balances)."""
+    so nnz — and with it the *useful* table mass — balances).
+
+    ``packed=True`` opts into the int4 nibble-carrier form — a recorded
+    NEGATIVE result for per-layer calls (the in-program S4 unpack costs
+    ~4 ms and XLA never hoists it out of loop bodies; measured D=8
+    slice 4.8 ms/layer packed vs 0.64 ms int8 — see
+    docs/KERNEL_NOTES.md "packed int4 dense incidence"); kept for
+    consumers that unpack outside their iteration loop."""
     bounds = edge_partition_bounds(hg, n_shards)
     widths = np.diff(bounds)
-    e_pad = int(max(widths.max(), 1))
-    if hg.num_nodes * e_pad > max_bytes_per_device:
+    e_pad = -(-int(max(widths.max(), 1)) // 2) * 2  # even, for nibble pairs
+    table_bytes = hg.num_nodes * (e_pad // 2 if packed else e_pad)
+    if table_bytes > max_bytes_per_device:
         raise MemoryError(
-            f"dense shard slice N x e_pad = {hg.num_nodes} x {e_pad} int8 "
-            f"exceeds {max_bytes_per_device} bytes/device — use the "
-            "tree-based sharded plan or more shards"
+            f"dense shard slice {hg.num_nodes} x {e_pad} "
+            f"({table_bytes} bytes) exceeds {max_bytes_per_device} "
+            "bytes/device — use the tree-based sharded plan or more shards"
         )
     h = np.zeros((n_shards, hg.num_nodes, e_pad), np.int8)
     degE = np.zeros((n_shards, e_pad, 1), np.float32)
@@ -114,6 +131,13 @@ def plan_sharded_dense(
         np.add.at(h[d], (hg.ht_indices[lo:hi].astype(np.int64), local_e), 1)
         degE[d, : e1 - e0] = hg.degE[e0:e1]
         counts[d, : e1 - e0, 0] = np.maximum(sizes_all[e0:e1], 1)
+    if packed:
+        if h.max(initial=0) > 7:
+            raise MemoryError(
+                ">7 duplicate incidences — packed int4 cannot represent "
+                "this graph; use packed=False"
+            )
+        h = (h[:, :, 0::2] & 0xF) | (h[:, :, 1::2] << 4)
     plan = ShardedDensePlan(
         n_shards=n_shards,
         num_nodes=hg.num_nodes,
@@ -123,17 +147,27 @@ def plan_sharded_dense(
         h=h,
         degE=degE,
         counts=counts,
+        packed=packed,
     )
     plan.device()
     return plan
 
 
-def _two_stage_local(h_i8, x, scale_e):
-    """H_d diag(scale_e) H_dᵀ x with the int8 slice riding into the dots."""
+def _two_stage_local(h_local, x, scale_e, packed):
+    """H_d diag(scale_e) H_dᵀ x with the int slice riding into the dots."""
     import jax
     import jax.numpy as jnp
 
-    hb = h_i8.astype(jnp.bfloat16)  # fused into the dot operand read
+    if packed:
+        # nibble carrier → S4 [N, e_pad]; pre-barrier guards against
+        # XLA's broken constant-folding of S4 bitcasts, post-barrier
+        # materializes the S4 table — the fused bitcast→dot form is 10×
+        # slow (rationale + measurements in ops/fused._dense_dot)
+        h_local = jax.lax.optimization_barrier(h_local)
+        h_local = jax.lax.bitcast_convert_type(h_local, jnp.int4)
+        h_local = h_local.reshape(h_local.shape[0], -1)
+        h_local = jax.lax.optimization_barrier(h_local)
+    hb = h_local.astype(jnp.bfloat16)  # fused into the dot operand read
     xe = jax.lax.dot_general(
         hb, x.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -176,7 +210,7 @@ def sharded_dense_hgnn_aggregate(
             scale = scale / cnt_local[0]
         if wdiag is not None:
             scale = scale * wdiag[0]
-        part = _two_stage_local(h_local[0], x_full, scale)
+        part = _two_stage_local(h_local[0], x_full, scale, plan.packed)
         out = jax.lax.psum(part, EDGE_AXIS)
         if degv is not None:
             out = out * degv
@@ -213,7 +247,7 @@ def sharded_dense_unignn_aggregate(
 
     def body(h_local, degE_local, x_full, degv):
         scale = degE_local[0] if use_deg else jnp.ones_like(degE_local[0])
-        part = _two_stage_local(h_local[0], x_full, scale)
+        part = _two_stage_local(h_local[0], x_full, scale, plan.packed)
         out = jax.lax.psum(part, EDGE_AXIS)
         if use_deg and degv is not None:
             out = out * degv

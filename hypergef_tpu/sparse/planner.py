@@ -414,7 +414,7 @@ def plan_tree(hg, ngs: Optional[int] = None, ngs_vertex: Optional[int] = None,
 
 @dataclasses.dataclass
 class DenseIncidence:
-    """Dense |V|×|E| H stored **int8** for the MXU matmul backend.
+    """Dense |V|×|E| H stored **packed int4** for the MXU matmul backend.
 
     On-chip measurement (scripts/bench_strategies.py): for cora-sized
     graphs the dense two-stage matmul beats every sparse formulation
@@ -425,26 +425,69 @@ class DenseIncidence:
     int8 storage (round 2, probe_dense_int8.py): the i8→bf16 convert
     fuses into the ``dot_general`` operand read — the table streams at
     its int8 byte size (~730 GB/s effective, exactly 2× the bf16 form:
-    429 vs 873 µs on the pubmed shape).  Entries are exact 0/1 incidence
-    counts, so no precision change vs bf16.  This both halves the
-    small-graph dense cost and extends the dense regime to mid-size
-    *unstructured* graphs that the gather-bound sparse paths serve
-    poorly (see ``DENSE_STREAM_VS_GATHER``).
+    429 vs 873 µs on the pubmed shape).  Entries are exact 0/1
+    incidence counts, so no precision change vs bf16.  This both
+    halves the small-graph dense cost and extends the dense regime to
+    mid-size *unstructured* graphs that the gather-bound sparse paths
+    serve poorly (see ``DENSE_STREAM_VS_GATHER``).
+
+    **packed int4 is a recorded NEGATIVE result as a default**
+    (round 2 final; full story in docs/KERNEL_NOTES.md "packed int4
+    dense incidence").  The S4 dots themselves stream at half the i8
+    bytes (~230 µs argument-form pubmed, bit-exact), but (a) the axon
+    plugin cannot move S4 across a jit boundary, so the table must
+    live as an int8 nibble carrier unpacked *inside* the consuming
+    program, and (b) XLA's S4 materialization runs at ~40 GB/s
+    (~4 ms for the pubmed table) and is never hoisted out of
+    ``fori_loop``/``scan`` bodies — so every per-layer op call pays it
+    and the net is ~10× SLOWER than int8 in every production placement
+    measured.  The packed form stays available as an explicit opt-in
+    (``dtype=jnp.int4``) for consumers that structure the unpack
+    outside their iteration loops, plus as the regression record.
+
+    Opt-in packed form: **host-packed nibble pairs in an int8
+    carrier** of shape [N, ceil(E/2)] (low nibble = even column),
+    re-viewed as S4 inside the program via ``lax.bitcast_convert_type``
+    behind optimization_barriers (XLA mis-constant-folds S4 bitcasts
+    of closure constants; the fused bitcast→dot form is 10× slow).
+    Verified bit-exact on CPU and TPU.
     """
 
-    h: "object"  # jnp [N, E] int8 counts (cast to bf16 at the dot)
+    h: "object"  # jnp int8: counts [N, E] or packed nibbles [N, ceil(E/2)]
     num_nodes: int
     num_edges: int
+    packed: bool = False  # True → ``h`` is the int4 nibble carrier
 
     @classmethod
     def from_hypergraph(cls, hg, dtype=None):
+        """Build the device table.  ``dtype=None`` → int8 (the measured
+        production default); ``jnp.int4`` → the packed nibble-carrier
+        form (explicit opt-in — see class docstring); ``jnp.int8`` /
+        ``jnp.bfloat16`` force unpacked tables."""
         import jax.numpy as jnp
         import numpy as np
 
-        dtype = dtype or jnp.int8
         arr = hg.to_scipy().toarray()
+        amax = int(arr.max()) if arr.size else 0
+        if dtype == jnp.int4:
+            if amax > 7:
+                raise MemoryError(
+                    ">7 duplicate incidences in one (vertex, edge) pair "
+                    "— the packed int4 form cannot represent this graph"
+                )
+            e_pad = -(-hg.num_edges // 2) * 2
+            pad = np.zeros((hg.num_nodes, e_pad), np.int8)
+            pad[:, : hg.num_edges] = arr
+            pk = (pad[:, 0::2] & 0xF) | (pad[:, 1::2] << 4)
+            return cls(
+                h=jnp.asarray(pk.astype(np.int8)),
+                num_nodes=hg.num_nodes,
+                num_edges=hg.num_edges,
+                packed=True,
+            )
+        dtype = jnp.int8 if dtype is None else dtype
         if dtype == jnp.int8:
-            if arr.size and arr.max() > 127:
+            if amax > 127:
                 raise MemoryError(
                     ">127 duplicate incidences in one (vertex, edge) pair "
                     "— not an incidence matrix?"
@@ -452,6 +495,28 @@ class DenseIncidence:
             arr = arr.astype(np.int8)
         h = jnp.asarray(arr, dtype=dtype)
         return cls(h=h, num_nodes=hg.num_nodes, num_edges=hg.num_edges)
+
+    def table(self):
+        """The [N, E] integer operand for the two-stage dots.
+
+        For the packed form this re-views the nibble carrier as S4 and
+        MUST run under a trace/jit (eager S4 intermediates crash the
+        axon plugin — see class docstring); ``ops/fused.py`` guarantees
+        that by wrapping the dense dots in inline jits.
+        """
+        if not self.packed:
+            return self.h
+        import jax
+        import jax.numpy as jnp
+
+        # pre-barrier: XLA mis-constant-folds S4 bitcasts of closure-
+        # captured carriers (wrong nibbles); post-barrier: the fused
+        # bitcast→dot form is 10× slow — materialize the S4 table
+        # (measurements + rationale in ops/fused._dense_dot, 2026-08-18)
+        h = jax.lax.optimization_barrier(self.h)
+        h4 = jax.lax.bitcast_convert_type(h, jnp.int4)
+        h4 = jax.lax.optimization_barrier(h4.reshape(self.num_nodes, -1))
+        return h4[:, : self.num_edges]
 
 
 @dataclasses.dataclass
@@ -489,6 +554,8 @@ DENSE_AUTO_THRESHOLD = 32_000_000
 # Gate at 2000: route to dense only where it clearly wins; near-tie
 # shapes stay on the gather ladder.  The entry cap bounds the host
 # build + HBM table (0.8 GB ~ 2.2 ms -- past that tree wins anyway).
+# (Packed int4 would halve the stream and double these gates, but is a
+# recorded negative result as a default — see DenseIncidence.)
 DENSE_STREAM_VS_GATHER = 2000
 DENSE_STREAM_MAX_ENTRIES = 800_000_000
 
@@ -1210,7 +1277,11 @@ def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
     j = np.arange(len(gs), dtype=np.int64)
     # spill_fudge=256 measured best on SBM-60k (640 widened windows and
     # cost +17%; spill row gathers are cheaper at the margin than extra
-    # streamed band blocks — probe_aligned_blocks.py 2026-08-17)
+    # streamed band blocks — probe_aligned_blocks.py 2026-08-17).
+    # Re-priced interleaved 2026-08-18 (probe_fudge_ab.py, 3 alternating
+    # rounds): 256 → 369/372/388 µs vs 24576 → 384/444/308 µs — a tie
+    # within chip jitter; spill_fudge is NOT a lever on this workload,
+    # default stands.
     block_cost = G * block_rows + block_rows * feat_bytes
     spill_cost = G + feat_bytes + spill_fudge
     best_cost = np.full(n_groups, np.inf)

@@ -17,6 +17,25 @@ Measures (honest chain_fold fencing, f=32, interleaved):
 
 Run on TPU:
     PYTHONPATH=/root/repo python scripts/probe_dense_int4.py
+
+RESULT (TPU v5e, 2026-08-18, interleaved, i4 bit-exact vs i8):
+    pubmed_real-random: dense-i4 185-235 us vs dense-i8 438-469 us
+    modelnet40-random:  dense-i4  89-219 us vs dense-i8 425-450 us
+...but this is a **NEGATIVE result end-to-end**: these numbers time
+only the dots (the i8->i4 conversion sits before the fori_loop and the
+T(K+1)-T(1) differencing cancels it).  In production the unpack runs
+inside each per-layer op call, XLA's S4 materialization is ~40 GB/s
+(~4 ms here) and is never hoisted out of loop bodies -> every
+placement measured 4.3-4.7 ms/layer vs 0.4 ms int8.  int8 stays the
+default; packed int4 is an explicit opt-in (dtype=jnp.int4).  Full
+chain of findings: docs/KERNEL_NOTES.md "packed int4 dense incidence".
+Gotchas hit on the way:
+ * axon cannot pass/redistribute S4 arrays across jit boundaries
+   (RecursionError in _array_shard_arg) -> carrier stays int8.
+ * XLA CONSTANT-FOLDS the S4 bitcast of a closure-captured carrier
+   INCORRECTLY (wrong nibbles, CPU-verified) -> the opt-in unpack
+   sits behind jax.lax.optimization_barrier (ops/fused._dense_dot).
+ * the fused (unmaterialized) bitcast->dot form is itself 7-10x slow.
 """
 
 import os
@@ -46,29 +65,56 @@ def bench(tag, hg, f=32, iters=30, rounds=3):
     degE = jnp.asarray(hg.degE)
     degV = jnp.asarray(hg.degV)
     h_i8 = jnp.asarray(dense)
-    try:
-        h_i4 = h_i8.astype(jnp.int4)
-    except Exception as ex:
-        print(f"int4 unsupported on this backend: {type(ex).__name__}: {ex}")
-        return
     print(f"=== {tag}: N={n} E={e} nnz={hg.nnz} NE={n*e/1e6:.0f}M "
-          f"(i8 {h_i8.nbytes/1e6:.0f}MB, i4 {h_i4.nbytes/1e6:.0f}MB) ===",
-          flush=True)
+          f"(i8 {n*e/1e6:.0f}MB, i4 {n*e/2e6:.0f}MB) ===", flush=True)
+
+    # The axon plugin cannot device_put / re-shard S4 arrays across jit
+    # boundaries (RecursionError in _array_shard_arg, 2026-08-18), so the
+    # i8->i4 conversion happens ONCE INSIDE the timed program, before the
+    # fori_loop, behind an optimization_barrier (forcing XLA to
+    # materialize the S4 table in HBM rather than re-deriving bf16 from
+    # the i8 operand inside the loop).  device_time_per_iter's
+    # T(K+1)-T(1) differencing cancels the one-time conversion cost, so
+    # the reported per-iter time is the steady-state S4-stream time.
+    def make_loop(to_i4):
+        def loop(x0_, n_, h8):
+            h = h8.astype(jnp.int4) if to_i4 else h8
+            h = jax.lax.optimization_barrier(h)
+            def body(i, a):
+                return chain_fold(two_stage(h, a, degE, degV), a)
+            return jax.lax.fori_loop(0, n_, body, x0_)
+        return jax.jit(loop, static_argnums=1)
 
     # correctness first (i4 vs i8 must be bit-identical: 0/1 entries)
-    y8 = np.asarray(two_stage(h_i8, x0, degE, degV))
-    y4 = np.asarray(two_stage(h_i4, x0, degE, degV))
+    try:
+        y4 = np.asarray(make_loop(True)(x0, 1, h_i8))
+    except Exception as ex:
+        print(f"int4 unsupported on this backend: {type(ex).__name__}: "
+              f"{str(ex)[:200]}")
+        return
+    y8 = np.asarray(make_loop(False)(x0, 1, h_i8))
     err = np.max(np.abs(y8 - y4)) / (np.max(np.abs(y8)) + 1e-30)
     print(f"  i4-vs-i8 rel err: {err:.2e}", flush=True)
 
+    import time as _time
+    fns = {"dense-i4": make_loop(True), "dense-i8": make_loop(False)}
+    from hypergef_tpu.utils.timing import sync
+    for name, fn in fns.items():  # warm both compiles
+        sync(fn(x0, 1, h_i8)); sync(fn(x0, iters + 1, h_i8))
+
+    def timed(fn, k, repeats=5):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            sync(fn(x0, k, h_i8))
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
     for r in range(rounds):  # interleaved A/B
         line = [f"  round {r}:"]
-        for name, h in (("dense-i4", h_i4), ("dense-i8", h_i8)):
-            def step(xv, h_):
-                return chain_fold(two_stage(h_, xv, degE, degV), xv)
-            t = device_time_per_iter(step, x0, iters=iters, operands=(h,))
-            us = t["per_iter_s"] * 1e6
-            line.append(f"{name} {us:8.1f}us noisy={t['noisy']}")
+        for name, fn in fns.items():
+            per = (timed(fn, iters + 1) - timed(fn, 1)) / iters
+            line.append(f"{name} {per*1e6:8.1f}us")
         print("  ".join(line), flush=True)
 
 

@@ -61,7 +61,9 @@ def test_midsize_unstructured_prefers_dense_stream():
     plan = plan_aggregation(hg)
     assert plan.preferred_backend == "dense"
     assert plan.dense is not None
-    assert plan.dense.h.dtype == jnp.int8
+    # int8 is the measured default (packed int4 is a recorded negative
+    # result for per-layer calls — planner.DenseIncidence docstring)
+    assert not plan.dense.packed and plan.dense.h.dtype == jnp.int8
 
 
 def test_midsize_unstructured_high_ratio_stays_on_gather_ladder():

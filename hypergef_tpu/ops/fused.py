@@ -219,6 +219,19 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
         xe = xe * wdiag
     if b == "dense" and getattr(plan, "dense", None) is not None:
         xv = _dense_e2v(plan.dense, xe)
+    elif b in ("aligned", "multihot", "pallas_sparse"):
+        # the E→V stage is a plain SUM — ride the backend's own
+        # matmul-form stage (gather-free band/multihot matmuls) instead
+        # of the gather tree; only the argmax V→E above is tree-bound.
+        # tree_matvec's VJP swaps to the paired stage, so gradients stay
+        # exact.  Fall back to the plain tree when the fast plan is
+        # absent (raw TreePlan callers).
+        fast = getattr(plan, b, None)
+        if fast is not None and hasattr(fast, "device"):
+            fe_stage, fv_stage = fast.device()
+            xv = tree_ops.tree_matvec(xe, fv_stage, fe_stage)
+        else:
+            xv = tree_ops.tree_matvec(xe, v_stage, e_stage)
     elif b == "cumsum":
         xv = _cumsum_e2v(hgd, xe)
     elif isinstance(v_stage, TiledStageDev):

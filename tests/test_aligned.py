@@ -178,8 +178,8 @@ def test_bucketed_width_merge_clamps_offsets():
 
 
 def test_aligned_max_falls_back(sorted_hg):
-    """first_aggr='max' cannot run on matmul-form stages — must route to
-    the exact oracle, not crash."""
+    """first_aggr='max' cannot run on matmul-form stages — a RAW aligned
+    TreePlan must route to the exact oracle, not crash."""
     hg = sorted_hg
     hgd = hg.device_data()
     x = jnp.asarray(
@@ -190,3 +190,31 @@ def test_aligned_max_falls_back(sorted_hg):
     got = fused.hgnn_aggregate(hgd, x, None, "max", plan=al, backend="aligned")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_aligned_max_full_plan_fast_e2v(sorted_hg):
+    """With the full AggregationPlan, max = argmax tree V→E + the
+    ALIGNED band-matmul E→V (the plain tree only carries the argmax
+    stage).  Forward and gradient must match the oracle."""
+    hg = sorted_hg
+    hgd = hg.device_data()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(hg.num_nodes, 6)).astype(np.float32))
+    plan = planner.plan_aggregation(hg, dense_threshold=0, with_precomp=False)
+    assert plan.preferred_backend == "aligned"
+
+    want = refops.hgnn_aggregate_ref(hgd, x, None, "max")
+    got = fused.hgnn_aggregate(hgd, x, None, "max", plan=plan,
+                               backend="aligned")
+    # bf16 band-matmul E→V accumulation → loose fwd tolerance
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+    def loss(backend, plan_):
+        return lambda xv: jnp.sum(
+            fused.hgnn_aggregate(hgd, xv, None, "max", plan=plan_,
+                                 backend=backend) ** 2)
+
+    g_got = np.asarray(jax.grad(loss("aligned", plan))(x))
+    g_want = np.asarray(jax.grad(loss("xla", None))(x))
+    np.testing.assert_allclose(g_got, g_want, rtol=5e-2, atol=5e-2)

@@ -58,21 +58,35 @@ def sharded_hgnn_aggregate(
     the edge axis); ``wdiag_stacked`` is [D, e_pad, 1] from
     ``plan.shard_edge_vector``.  Returns [N, F], replicated (psum'd).
     """
-    if first_aggr not in ("sum", "mean"):
-        raise ValueError("sharded path supports first_aggr in {sum, mean}")
+    if first_aggr not in ("sum", "mean", "max"):
+        raise ValueError("sharded path supports first_aggr in {sum, mean, max}")
     plan_dev = plan.device()
+    # max: X is replicated and the partition is hyperedge-contiguous, so
+    # every shard sees the FULL membership of its local edges — the local
+    # argmax-carrying tree (ops/maxops) is exact, and only the E→V sum
+    # partials cross chips (psum), exactly like sum/mean.  The record-
+    # table VJP needs each shard's vertex-major local CSR (max_device()).
+    maxb_dev = plan.max_device() if first_aggr == "max" else None
     fspec = FEATURE_AXIS if feature_sharded else None
     x_spec = P(None, fspec)
     w_spec = P(EDGE_AXIS)
     dv_spec = P(None, None)
 
-    def body(plan_local, x_full, wdiag, degv):
+    def body(plan_local, maxb_local, x_full, wdiag, degv):
         (e_levels, e_fi, e_fm, e_cn, v_levels, v_fi, v_fm, degE) = _squeeze0(
             plan_local
         )
-        xe = _local_stage(x_full, e_levels, e_fi, e_fm)
-        if first_aggr == "mean":
-            xe = xe / jnp.maximum(e_cn, 1.0)[:, None]
+        if first_aggr == "max":
+            from hypergef_tpu.ops.maxops import v2e_max_tree
+
+            h_ip, h_ed, h_sg = _squeeze0(maxb_local)
+            xe = v2e_max_tree(
+                x_full, (e_levels, e_fi, e_fm, e_cn), h_ed, h_sg, h_ip
+            )
+        else:
+            xe = _local_stage(x_full, e_levels, e_fi, e_fm)
+            if first_aggr == "mean":
+                xe = xe / jnp.maximum(e_cn, 1.0)[:, None]
         xe = xe * degE
         if wdiag is not None:
             xe = xe * wdiag[0]
@@ -84,6 +98,9 @@ def sharded_hgnn_aggregate(
 
     specs_in = (
         _plan_specs(plan_dev),
+        None if maxb_dev is None else jax.tree_util.tree_map(
+            lambda _: P(EDGE_AXIS), maxb_dev
+        ),
         x_spec,
         None if wdiag_stacked is None else w_spec,
         None if degV is None else dv_spec,
@@ -95,7 +112,7 @@ def sharded_hgnn_aggregate(
         out_specs=P(None, fspec),
         check_vma=False,
     )
-    return fn(plan_dev, x, wdiag_stacked, degV)
+    return fn(plan_dev, maxb_dev, x, wdiag_stacked, degV)
 
 
 def sharded_unignn_aggregate(

@@ -125,7 +125,15 @@ class ShardedAggPlan:
     v_final_idx: np.ndarray  # [D, N]
     v_final_mask: np.ndarray
     degE: np.ndarray  # [D, e_pad, 1]
+    # vertex-major CSR of each local sub-H (LOCAL edge ids), padded to a
+    # common nnz — consumed only by the exact max-VJP (record-table
+    # backward, ops/maxops); shipped to device lazily via max_device()
+    # so sum/mean calls pay nothing.
+    h_indptr: Optional[np.ndarray] = None  # [D, N+1] int32
+    h_edge: Optional[np.ndarray] = None  # [D, nnz_pad] int32
+    h_segids: Optional[np.ndarray] = None  # [D, nnz_pad] int32
     _device: Optional[tuple] = dataclasses.field(default=None, repr=False)
+    _max_device: Optional[tuple] = dataclasses.field(default=None, repr=False)
 
     def device(self):
         if self._device is None:
@@ -143,6 +151,23 @@ class ShardedAggPlan:
             )
         return self._device
 
+    def max_device(self):
+        """Device tuple (h_indptr, h_edge, h_segids) for the max path."""
+        if self.h_indptr is None:
+            raise ValueError(
+                "plan was built without max-backward CSR arrays "
+                "(plan_sharded_aggregation(with_max=...))"
+            )
+        if self._max_device is None:
+            import jax.numpy as jnp
+
+            self._max_device = (
+                jnp.asarray(self.h_indptr),
+                jnp.asarray(self.h_edge),
+                jnp.asarray(self.h_segids),
+            )
+        return self._max_device
+
     def shard_edge_vector(self, vec: np.ndarray) -> np.ndarray:
         """Scatter a global per-hyperedge vector [E, 1] into the padded
         stacked layout [D, e_pad, 1] (for Wdiag etc.)."""
@@ -159,10 +184,19 @@ def plan_sharded_aggregation(
     n_shards: int,
     ngs: Optional[int] = None,
     fan: int = 8,
+    with_max: bool = True,
 ) -> ShardedAggPlan:
-    """Build the stacked SPMD plan for an ``n_shards``-way edge partition."""
+    """Build the stacked SPMD plan for an ``n_shards``-way edge partition.
+
+    ``with_max`` additionally stacks each shard's vertex-major local CSR
+    (host numpy only — transferred on first ``max`` call), enabling
+    ``first_aggr="max"`` with the exact record-table VJP on the
+    distributed path (the reference's max kernel semantics,
+    ``hgnnaggr_cuda.cu:144-208``, which it never had multi-device).
+    """
     bounds = edge_partition_bounds(hg, n_shards)
     e_stages, v_stages = [], []
+    subs = []
     e_pad = int((bounds[1:] - bounds[:-1]).max())
     if ngs is None:
         # one global chunk width: per-shard choices would give levels of
@@ -174,6 +208,7 @@ def plan_sharded_aggregation(
     for d in range(n_shards):
         e0, e1 = int(bounds[d]), int(bounds[d + 1])
         sub = _local_subgraph(hg, e0, e1)
+        subs.append(sub)
         sub_plan = plan_tree(sub, ngs=ngs, ngs_vertex=ngs_v, fan=fan)
         e_stages.append(sub_plan.edge_stage)
         v_stages.append(sub_plan.vertex_stage)
@@ -183,6 +218,22 @@ def plan_sharded_aggregation(
     for d in range(n_shards):
         e0, e1 = int(bounds[d]), int(bounds[d + 1])
         degE[d, : e1 - e0] = hg.degE[e0:e1]
+    h_ip = h_ed = h_sg = None
+    if with_max:
+        # stacked vertex-major local CSRs; padding rows live PAST
+        # indptr[-1], so the differenced-cumsum segment sum never reads
+        # them (ops/segments.segment_sum_sorted)
+        nnz_pad = max(int(s.nnz) for s in subs)
+        h_ip = np.zeros((n_shards, hg.num_nodes + 1), np.int32)
+        h_ed = np.zeros((n_shards, nnz_pad), np.int32)
+        h_sg = np.zeros((n_shards, nnz_pad), np.int32)
+        for d, sub in enumerate(subs):
+            h_ip[d] = sub.h_indptr.astype(np.int32)
+            h_ed[d, : sub.nnz] = sub.h_indices.astype(np.int32)
+            h_sg[d, : sub.nnz] = np.repeat(
+                np.arange(hg.num_nodes, dtype=np.int32),
+                np.diff(sub.h_indptr).astype(np.int64),
+            )
     plan = ShardedAggPlan(
         n_shards=n_shards,
         num_nodes=hg.num_nodes,
@@ -197,6 +248,9 @@ def plan_sharded_aggregation(
         v_final_idx=v_fi,
         v_final_mask=v_fm,
         degE=degE,
+        h_indptr=h_ip,
+        h_edge=h_ed,
+        h_segids=h_sg,
     )
     plan.device()
     return plan

@@ -196,6 +196,43 @@ def apply_levels(x, levels, final_idx, final_mask):
     return jnp.take(p, final_idx, axis=0) * final_mask[:, None]
 
 
+# effectively -inf in f32 without being an actual inf (safe to negate,
+# compare, and multiply by a zero mask without NaNs)
+_NEG_F32 = -3.0e38
+
+
+def apply_level_max(p, g, m):
+    """One fan-in MAX combine level: y[c] = max_k p[g[c,k]] masked by m.
+
+    Dead slots (m == 0) become ``-inf``-like so they never win; a row
+    whose slots are all dead yields ``_NEG_F32`` and must be guarded by
+    the caller's final mask (padded chunks are never gathered by live
+    deeper-level slots)."""
+    c, fan = g.shape
+    f = p.shape[1]
+    gathered = jnp.take(p, g.reshape(-1), axis=0).reshape(c, fan, f)
+    cand = jnp.where(m[:, :, None] > 0, gathered, _NEG_F32)
+    return jnp.max(cand, axis=1)
+
+
+def apply_levels_max(x, levels, final_idx, final_mask):
+    """Max-combine counterpart of :func:`apply_levels` — the same tree
+    stage applied with max instead of sum at every level (partial maxima
+    combine associatively exactly like partial sums).
+
+    Empty segments map to 0 (the reference kernel's zero-initialized
+    output, ``hgnnaggr_cuda.cu:144-208``).  Gradients are exact through
+    standard JAX AD: the masked-``where`` confines cotangents to live
+    slots and ``jnp.max``'s VJP routes each segment's cotangent to the
+    winning member (ties split evenly — measure zero on float data).
+    """
+    p = x
+    for g, m in levels:
+        p = apply_level_max(p, g, m)
+    y = jnp.take(p, final_idx, axis=0)
+    return jnp.where(final_mask[:, None] > 0, y, 0.0)
+
+
 def _apply_stage(x, stage):
     """stage = (levels, final_idx, final_mask, counts) of jnp arrays."""
     levels, final_idx, final_mask, _ = stage

@@ -12,6 +12,12 @@ Per-device program for one fused HGNN aggregation with X *vertex-sharded*
 
 Exact gradients flow through ``all_to_all`` (its transpose is the
 reverse all_to_all) and the scatter-free local trees.
+
+``first_aggr`` ∈ {sum, mean, max}: max runs the interior and boundary
+V→E trees in max-combine form (``ops.tree.apply_levels_max`` — the
+distributed counterpart of the reference's record-table max kernels,
+``hgnnaggr_cuda.cu:144-208``); it requires a tree-form plan (the banded
+aligned interior stage is a sum-form matmul).
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ def _sq(tree):
 
 
 from hypergef_tpu.ops.tree import apply_levels as _apply_levels  # noqa: E402
+from hypergef_tpu.ops.tree import apply_levels_max as _apply_levels_max  # noqa: E402
 
 
 def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
@@ -36,8 +43,15 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
     """x_own: [D·n_own, F] vertex-sharded on the edge axis (each device
     holds its owned block).  Returns the aggregated output in the same
     sharded layout."""
-    if first_aggr not in ("sum", "mean"):
-        raise ValueError("halo path supports first_aggr in {sum, mean}")
+    if first_aggr not in ("sum", "mean", "max"):
+        raise ValueError("halo path supports first_aggr in {sum, mean, max}")
+    if first_aggr == "max" and plan.local_form == "aligned":
+        # the banded interior stage is a sum-form matmul; max needs the
+        # gather-tree interior — build the plan with local_form="tree"
+        raise ValueError(
+            "first_aggr='max' requires a tree-form halo plan "
+            "(plan_halo(..., local_form='tree'))"
+        )
     plan_dev = plan.device()
     specs = jax.tree_util.tree_map(lambda _: P(EDGE_AXIS), plan_dev)
 
@@ -77,11 +91,16 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
                 group_rows=128, window_blocks=plan.int_aligned["wb_b"],
             )
             xe_int = tree_matvec(x_blk, fwd, bwd)
+        elif first_aggr == "max":
+            xe_int = _apply_levels_max(x_blk, int_levels, int_fi, int_fm)
         else:
             xe_int = _apply_levels(x_blk, int_levels, int_fi, int_fm)
         # 2b. boundary V→E over the (smaller) halo'd touched set
         x_t = jnp.take(halo_in.reshape(d_ * b_cap_h, f), halo_idx, axis=0)
-        xe_bnd = _apply_levels(x_t, bnd_levels, bnd_fi, bnd_fm)
+        if first_aggr == "max":
+            xe_bnd = _apply_levels_max(x_t, bnd_levels, bnd_fi, bnd_fm)
+        else:
+            xe_bnd = _apply_levels(x_t, bnd_levels, bnd_fi, bnd_fm)
         # 2c. assemble per-local-edge rows (static permutation, no scatter)
         xe_cat = jnp.concatenate(
             [xe_int, xe_bnd, jnp.zeros((1, f), xe_int.dtype)], axis=0

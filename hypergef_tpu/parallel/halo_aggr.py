@@ -39,10 +39,15 @@ from hypergef_tpu.ops.tree import apply_levels_max as _apply_levels_max  # noqa:
 
 
 def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
-                        first_aggr: str = "sum"):
+                        first_aggr: str = "sum", plan_dev=None):
     """x_own: [D·n_own, F] vertex-sharded on the edge axis (each device
     holds its owned block).  Returns the aggregated output in the same
-    sharded layout."""
+    sharded layout.
+
+    ``plan_dev``: optional pre-built device pytree (``plan.device()``
+    layout).  Multi-process (multi-host) callers pass globally-sharded
+    arrays here — ``plan.device()`` builds process-local ones, which a
+    cross-process mesh cannot consume directly."""
     if first_aggr not in ("sum", "mean", "max"):
         raise ValueError("halo path supports first_aggr in {sum, mean, max}")
     if first_aggr == "max" and plan.local_form == "aligned":
@@ -52,7 +57,8 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
             "first_aggr='max' requires a tree-form halo plan "
             "(plan_halo(..., local_form='tree'))"
         )
-    plan_dev = plan.device()
+    if plan_dev is None:
+        plan_dev = plan.device()
     specs = jax.tree_util.tree_map(lambda _: P(EDGE_AXIS), plan_dev)
 
     def body(pl, x_blk, wdiag):

@@ -34,6 +34,8 @@ class DistTrainer:
         wd: float = 5e-4,
         seed: int = 1,
         mesh=None,
+        model: str = "HGNN",
+        first_aggr: str = "sum",
     ):
         n_dev = len(jax.devices())
         if mesh is None:
@@ -51,14 +53,40 @@ class DistTrainer:
         n_f = mesh.devices.shape[1]
         if nhid % n_f != 0:
             raise ValueError(f"nhid={nhid} must be divisible by the feature-mesh axis ({n_f})")
-        self.step, self.tx, self.forward, self.run_epochs = make_dist_train_step(
-            mesh, self.plan, self.degV, lr=lr, wd=wd,
-            feature_sharded=(n_f > 1), nclass=self.nclass,
-        )
-        self.params = init_dist_params(
-            jax.random.key(seed), self.x.shape[1], nhid, self.nclass,
-            class_pad=n_f,
-        )
+        self.model = model
+        if model == "HGNN":
+            self.step, self.tx, self.forward, self.run_epochs = make_dist_train_step(
+                mesh, self.plan, self.degV, lr=lr, wd=wd, first_aggr=first_aggr,
+                feature_sharded=(n_f > 1), nclass=self.nclass,
+            )
+            self.params = init_dist_params(
+                jax.random.key(seed), self.x.shape[1], nhid, self.nclass,
+                class_pad=n_f,
+            )
+        elif model == "UniGIN":
+            from hypergef_tpu.parallel.dist_model import (
+                init_unigin_params, make_dist_unigin_train_step)
+
+            self.step, self.tx, self.forward, self.run_epochs = (
+                make_dist_unigin_train_step(
+                    mesh, self.plan, lr=lr, wd=wd,
+                    feature_sharded=(n_f > 1), nclass=self.nclass))
+            self.params = init_unigin_params(
+                jax.random.key(seed), self.x.shape[1], nhid, self.nclass,
+                class_pad=n_f)
+        elif model == "UniGCNII":
+            from hypergef_tpu.parallel.dist_model import (
+                init_unigcnii_params, make_dist_unigcnii_train_step)
+
+            self.step, self.tx, self.forward, self.run_epochs = (
+                make_dist_unigcnii_train_step(
+                    mesh, self.plan, self.degV, lr=lr, wd=wd,
+                    feature_sharded=(n_f > 1), nclass=self.nclass))
+            self.params = init_unigcnii_params(
+                jax.random.key(seed), self.x.shape[1], nhid, self.nclass,
+                class_pad=n_f)
+        else:
+            raise ValueError(f"unknown distributed model {model!r}")
         self.opt_state = self.tx.init(self.params)
 
     def fit(self, train_idx, epochs: int = 100, warmup: int = 10,

@@ -155,7 +155,7 @@ def main(argv=None):
         tr = DistTrainer(
             hg, x, y, nhid=args.nhid, n_shards=args.shards,
             n_feature=args.feature_shards, lr=args.lr, wd=args.wd,
-            seed=args.seed,
+            seed=args.seed, model=args.model, first_aggr=args.first_aggr,
         )
         res = tr.fit(split["train"], epochs=args.epochs)
         res.update(tr.evaluate(split))

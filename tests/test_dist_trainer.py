@@ -30,3 +30,16 @@ def test_dist_trainer_2d_mesh():
     res = tr.fit(split["train"], epochs=20, warmup=1, fence_every=1,
                  chained=False)
     assert np.isfinite(res["final_loss"])
+
+
+def test_dist_trainer_unigin_and_unigcnii():
+    """All three reference model families train through DistTrainer."""
+    hg, y = homophilic_hypergraph(400, 250, 4, seed=4)
+    x = np.random.default_rng(5).normal(size=(400, 12)).astype(np.float32)
+    split = rand_train_test_idx(y, seed=6)
+    for model in ("UniGIN", "UniGCNII"):
+        tr = DistTrainer(hg, x, y, nhid=16, n_shards=8, model=model)
+        res = tr.fit(split["train"], epochs=30)
+        assert np.isfinite(res["final_loss"])
+        acc = tr.evaluate(split)
+        assert acc["test_acc"] > 35.0, (model, res, acc)

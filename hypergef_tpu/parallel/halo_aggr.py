@@ -39,7 +39,8 @@ from hypergef_tpu.ops.tree import apply_levels_max as _apply_levels_max  # noqa:
 
 
 def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
-                        first_aggr: str = "sum", plan_dev=None):
+                        first_aggr: str = "sum", plan_dev=None,
+                        use_deg: bool = True):
     """x_own: [D·n_own, F] vertex-sharded on the edge axis (each device
     holds its owned block).  Returns the aggregated output in the same
     sharded layout.
@@ -114,7 +115,8 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
         xe = jnp.take(xe_cat, asm_idx, axis=0)  # [e_pad, F]
         if first_aggr == "mean":
             xe = xe / jnp.maximum(e_cn, 1.0)[:, None]
-        xe = xe * degE
+        if use_deg:
+            xe = xe * degE
         if wdiag is not None:
             xe = xe * wdiag[0]
         part = _apply_levels(xe, v_levels, v_fi, v_fm)  # [t_max, F]
@@ -131,7 +133,7 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
         out = _apply_levels(
             ret_in.reshape(d_ * b_cap, f), own_levels, own_fi, own_fm
         )  # [n_own, F]
-        return out * degV_own
+        return out * degV_own if use_deg else out
 
     fn = shard_map(
         body,
@@ -199,3 +201,86 @@ def unshard_vertex_features(plan, x_own):
     import numpy as np
 
     return np.asarray(x_own)[: plan.num_nodes]
+
+
+def halo_unignn_aggregate(plan, mesh, x_own, use_deg: bool = False,
+                          plan_dev=None):
+    """UniGNN aggregation on the halo program: ``H Hᵀ X`` (plain, the
+    UniGIN form) or ``degV·H·degE·Hᵀ·X`` (``use_deg=True``, the UniGCNII
+    form) — reference semantics ``unignn_cuda`` minus its degV indexing
+    bug (SURVEY §2.8-3)."""
+    return halo_hgnn_aggregate(plan, mesh, x_own, None, "sum",
+                               plan_dev=plan_dev, use_deg=use_deg)
+
+
+def _halo_finish_step(tx, forward):
+    import optax
+
+    def loss_fn(params, x_own, y_own, mask_own):
+        logp = forward(params, x_own)
+        picked = jnp.take_along_axis(logp, y_own[:, None], axis=1)[:, 0]
+        return -jnp.sum(picked * mask_own) / jnp.maximum(mask_own.sum(), 1.0)
+
+    @jax.jit
+    def step(params, opt_state, x_own, y_own, mask_own):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x_own, y_own, mask_own)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, tx, forward
+
+
+def make_halo_unigin_train_step(mesh, plan, lr: float = 0.01,
+                                wd: float = 5e-4, nclass: int = None):
+    """Fully-sharded 2-layer UniGIN: ``(1+ε)·XW + H Hᵀ (XW)`` per layer
+    in the vertex-owner layout (boundary all_to_alls only)."""
+    from hypergef_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(lr, wd)
+
+    def forward(params, x_own):
+        xw = x_own @ params["W1"]
+        h = halo_unignn_aggregate(plan, mesh, xw) + (1.0 + params["eps1"]) * xw
+        h = jax.nn.relu(h)
+        hw = h @ params["W2"]
+        z = halo_unignn_aggregate(plan, mesh, hw) + (1.0 + params["eps2"]) * hw
+        if nclass is not None and z.shape[1] > nclass:
+            col = jnp.arange(z.shape[1])[None, :]
+            z = jnp.where(col < nclass, z, -1e30)
+        return jax.nn.log_softmax(z, axis=1)
+
+    return _halo_finish_step(tx, forward)
+
+
+def make_halo_unigcnii_train_step(mesh, plan, nlayer: int = 2,
+                                  lamda: float = 0.5, alpha: float = 0.1,
+                                  lr: float = 0.01, wd: float = 5e-4,
+                                  nclass: int = None):
+    """Fully-sharded UniGCNII: identity-mapping residual layers over the
+    halo ``Xv = degV·H·degE·Hᵀ·X`` aggregation (reference
+    ``unigcnii.py:23-36`` semantics; residuals stay in the owner
+    layout, no extra communication)."""
+    import math as _math
+
+    from hypergef_tpu.train.trainer import make_optimizer
+
+    tx = make_optimizer(lr, wd)
+    betas = [_math.log(lamda / (i + 1) + 1.0) for i in range(nlayer)]
+
+    def forward(params, x_own):
+        h = jax.nn.relu(x_own @ params["lin_in"])
+        h0 = h
+        for i in range(nlayer):
+            xv = halo_unignn_aggregate(plan, mesh, h, use_deg=True)
+            xi = (1.0 - alpha) * xv + alpha * h0
+            h = jax.nn.relu(
+                (1.0 - betas[i]) * xi + betas[i] * (xi @ params[f"W{i}"])
+            )
+        z = h @ params["lin_out"]
+        if nclass is not None and z.shape[1] > nclass:
+            col = jnp.arange(z.shape[1])[None, :]
+            z = jnp.where(col < nclass, z, -1e30)
+        return jax.nn.log_softmax(z, axis=1)
+
+    return _halo_finish_step(tx, forward)

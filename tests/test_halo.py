@@ -313,3 +313,60 @@ def test_halo_under_jit(skewed_hg):
     np.testing.assert_allclose(
         unshard_vertex_features(plan, out), want, rtol=1e-4, atol=1e-4
     )
+
+
+def test_halo_unignn_matches_oracle(skewed_hg):
+    """UniGNN forms on the halo program: plain HHᵀX and the degE/degV
+    (UniGCNII) form, vs the dense oracle."""
+    from conftest import dense_unignn_oracle
+
+    from hypergef_tpu.parallel.halo_aggr import halo_unignn_aggregate
+
+    hg = skewed_hg
+    mesh = make_mesh(8, 1)
+    plan = plan_halo(hg, 8)
+    x = rand_x(hg, f=6, seed=9)
+    x_own = jnp.asarray(shard_vertex_features(plan, x))
+    for use_deg in (False, True):
+        got = unshard_vertex_features(
+            plan, halo_unignn_aggregate(plan, mesh, x_own, use_deg=use_deg))
+        want = dense_unignn_oracle(hg, x, use_deg=use_deg)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_unigin_unigcnii_train():
+    """All three model families train on the fully-sharded halo design."""
+    from hypergef_tpu.data.synthetic import homophilic_hypergraph
+    from hypergef_tpu.parallel.dist_model import (
+        init_unigcnii_params, init_unigin_params)
+    from hypergef_tpu.parallel.halo_aggr import (
+        make_halo_unigcnii_train_step, make_halo_unigin_train_step)
+    from hypergef_tpu.train import rand_train_test_idx
+
+    hg, y = homophilic_hypergraph(400, 250, 4, seed=9)
+    x = np.random.default_rng(10).normal(size=(400, 12)).astype(np.float32)
+    split = rand_train_test_idx(y, seed=11)
+    mask = np.zeros(len(y), np.float32)
+    mask[split["train"]] = 1.0
+    mesh = make_mesh(8, 1)
+    plan = plan_halo(hg, 8)
+    pad = plan.n_shards * plan.n_own - hg.num_nodes
+    x_own = jnp.asarray(shard_vertex_features(plan, x))
+    y_own = jnp.asarray(np.pad(y, (0, pad)))
+    m_own = jnp.asarray(np.pad(mask, (0, pad)))
+    for fam in ("UniGIN", "UniGCNII"):
+        if fam == "UniGIN":
+            import jax as _jax
+
+            params = init_unigin_params(_jax.random.PRNGKey(0), 12, 16, 4)
+            step, tx, fwd = make_halo_unigin_train_step(mesh, plan, nclass=4)
+        else:
+            import jax as _jax
+
+            params = init_unigcnii_params(_jax.random.PRNGKey(1), 12, 16, 4)
+            step, tx, fwd = make_halo_unigcnii_train_step(mesh, plan, nclass=4)
+        st = tx.init(params)
+        params, st, l0 = step(params, st, x_own, y_own, m_own)
+        for _ in range(25):
+            params, st, loss = step(params, st, x_own, y_own, m_own)
+        assert np.isfinite(float(loss)) and float(loss) < float(l0), (fam, l0, loss)

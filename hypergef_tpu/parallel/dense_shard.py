@@ -70,13 +70,16 @@ class ShardedDensePlan:
 
     def device(self):
         if self._device is None:
+            import jax
             import jax.numpy as jnp
 
-            self._device = (
-                jnp.asarray(self.h),
-                jnp.asarray(self.degE),
-                jnp.asarray(self.counts),
-            )
+            # eager build even under a trace (see ShardedAggPlan.device)
+            with jax.ensure_compile_time_eval():
+                self._device = (
+                    jnp.asarray(self.h),
+                    jnp.asarray(self.degE),
+                    jnp.asarray(self.counts),
+                )
         return self._device
 
     def shard_edge_vector(self, vec: np.ndarray) -> np.ndarray:

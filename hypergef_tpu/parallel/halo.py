@@ -189,32 +189,39 @@ class HaloPlan:
 
     def device(self):
         if self._device is None:
+            import jax
             import jax.numpy as jnp
 
-            j = jnp.asarray
-            aligned = ()
-            if self.local_form == "aligned":
-                al = self.int_aligned
-                aligned = tuple(
-                    j(al[leg][k])
-                    for leg in ("fwd", "bwd")
-                    for k in ("b_dense", "win_block", "spill_src", "b_spill")
-                )
-            self._device = (
-                tuple((j(g), j(m)) for g, m in self.int_levels),
-                j(self.int_final_idx), j(self.int_final_mask),
-                tuple((j(g), j(m)) for g, m in self.bnd_levels),
-                j(self.bnd_final_idx), j(self.bnd_final_mask),
-                j(self.asm_idx), j(self.e_counts),
-                tuple((j(g), j(m)) for g, m in self.v_levels),
-                j(self.v_final_idx), j(self.v_final_mask),
-                j(self.send_slot), j(self.send_mask),
-                j(self.halo_send_slot), j(self.halo_idx),
-                tuple((j(g), j(m)) for g, m in self.own_levels),
-                j(self.own_final_idx), j(self.own_final_mask),
-                j(self.degE), j(self.degV_own),
-                aligned,
+            # eager build even under a trace (see ShardedAggPlan.device)
+            with jax.ensure_compile_time_eval():
+                return self._build_device(jnp)
+        return self._device
+
+    def _build_device(self, jnp):
+        j = jnp.asarray
+        aligned = ()
+        if self.local_form == "aligned":
+            al = self.int_aligned
+            aligned = tuple(
+                j(al[leg][k])
+                for leg in ("fwd", "bwd")
+                for k in ("b_dense", "win_block", "spill_src", "b_spill")
             )
+        self._device = (
+            tuple((j(g), j(m)) for g, m in self.int_levels),
+            j(self.int_final_idx), j(self.int_final_mask),
+            tuple((j(g), j(m)) for g, m in self.bnd_levels),
+            j(self.bnd_final_idx), j(self.bnd_final_mask),
+            j(self.asm_idx), j(self.e_counts),
+            tuple((j(g), j(m)) for g, m in self.v_levels),
+            j(self.v_final_idx), j(self.v_final_mask),
+            j(self.send_slot), j(self.send_mask),
+            j(self.halo_send_slot), j(self.halo_idx),
+            tuple((j(g), j(m)) for g, m in self.own_levels),
+            j(self.own_final_idx), j(self.own_final_mask),
+            j(self.degE), j(self.degV_own),
+            aligned,
+        )
         return self._device
 
     def comm_fraction(self) -> float:

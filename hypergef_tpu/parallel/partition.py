@@ -137,18 +137,25 @@ class ShardedAggPlan:
 
     def device(self):
         if self._device is None:
+            import jax
             import jax.numpy as jnp
 
-            self._device = (
-                tuple((jnp.asarray(g), jnp.asarray(m)) for g, m in self.e_levels),
-                jnp.asarray(self.e_final_idx),
-                jnp.asarray(self.e_final_mask),
-                jnp.asarray(self.e_counts),
-                tuple((jnp.asarray(g), jnp.asarray(m)) for g, m in self.v_levels),
-                jnp.asarray(self.v_final_idx),
-                jnp.asarray(self.v_final_mask),
-                jnp.asarray(self.degE),
-            )
+            # build cache eagerly even if first called inside a trace:
+            # traced constants cached here would leak out of the
+            # transformation scope (observed via scan-traced max paths)
+            with jax.ensure_compile_time_eval():
+                self._device = (
+                    tuple((jnp.asarray(g), jnp.asarray(m))
+                          for g, m in self.e_levels),
+                    jnp.asarray(self.e_final_idx),
+                    jnp.asarray(self.e_final_mask),
+                    jnp.asarray(self.e_counts),
+                    tuple((jnp.asarray(g), jnp.asarray(m))
+                          for g, m in self.v_levels),
+                    jnp.asarray(self.v_final_idx),
+                    jnp.asarray(self.v_final_mask),
+                    jnp.asarray(self.degE),
+                )
         return self._device
 
     def max_device(self):
@@ -159,13 +166,17 @@ class ShardedAggPlan:
                 "(plan_sharded_aggregation(with_max=...))"
             )
         if self._max_device is None:
+            import jax
             import jax.numpy as jnp
 
-            self._max_device = (
-                jnp.asarray(self.h_indptr),
-                jnp.asarray(self.h_edge),
-                jnp.asarray(self.h_segids),
-            )
+            # eager build — see device(); first call may be inside a
+            # scan/jit trace (observed: chained-epoch max training)
+            with jax.ensure_compile_time_eval():
+                self._max_device = (
+                    jnp.asarray(self.h_indptr),
+                    jnp.asarray(self.h_edge),
+                    jnp.asarray(self.h_segids),
+                )
         return self._max_device
 
     def shard_edge_vector(self, vec: np.ndarray) -> np.ndarray:

@@ -343,8 +343,13 @@ class TreePlan:
     def device(self):
         """Returns (edge_stage_pytree, vertex_stage_pytree) of jnp arrays."""
         if self._device is None:
-            e = self._stage_device(self.edge_stage)
-            v = self._stage_device(self.vertex_stage)
+            import jax
+
+            # eager build even under a trace — traced constants cached
+            # here would leak out of the transformation scope
+            with jax.ensure_compile_time_eval():
+                e = self._stage_device(self.edge_stage)
+                v = self._stage_device(self.vertex_stage)
             if self.form.startswith("pallas"):
                 from hypergef_tpu.ops.tree import PallasStageDev, TiledStageDev
 

@@ -43,3 +43,17 @@ def test_dist_trainer_unigin_and_unigcnii():
         assert np.isfinite(res["final_loss"])
         acc = tr.evaluate(split)
         assert acc["test_acc"] > 35.0, (model, res, acc)
+
+
+def test_dist_trainer_max_chained_epochs():
+    """Regression: first max_device()/device() call used to happen inside
+    the chained-epoch scan trace, caching traced constants that leaked
+    into later traces (UnexpectedTracerError). Plan device caches must
+    build eagerly (jax.ensure_compile_time_eval)."""
+    hg, y = homophilic_hypergraph(300, 200, 4, seed=12)
+    x = np.random.default_rng(13).normal(size=(300, 12)).astype(np.float32)
+    split = rand_train_test_idx(y, seed=14)
+    tr = DistTrainer(hg, x, y, nhid=16, n_shards=8, first_aggr="max")
+    res = tr.fit(split["train"], epochs=10)
+    acc = tr.evaluate(split)  # retrace after the scan — must not leak
+    assert np.isfinite(res["final_loss"]) and acc["test_acc"] > 30.0

@@ -64,6 +64,11 @@ class DistTrainer:
                 class_pad=n_f,
             )
         elif model == "UniGIN":
+            if first_aggr != "sum":
+                raise ValueError(
+                    "DistTrainer(model='UniGIN') supports first_aggr='sum' "
+                    f"only (got {first_aggr!r}); the UniGNN family is a plain "
+                    "H·Hᵀ sum aggregation (SURVEY §0)")
             from hypergef_tpu.parallel.dist_model import (
                 init_unigin_params, make_dist_unigin_train_step)
 
@@ -75,6 +80,11 @@ class DistTrainer:
                 jax.random.key(seed), self.x.shape[1], nhid, self.nclass,
                 class_pad=n_f)
         elif model == "UniGCNII":
+            if first_aggr != "sum":
+                raise ValueError(
+                    "DistTrainer(model='UniGCNII') supports first_aggr='sum' "
+                    f"only (got {first_aggr!r}); UniGCNII's V→E stage is a "
+                    "degE-scaled sum (SURVEY §0)")
             from hypergef_tpu.parallel.dist_model import (
                 init_unigcnii_params, make_dist_unigcnii_train_step)
 

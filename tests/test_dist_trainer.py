@@ -45,6 +45,20 @@ def test_dist_trainer_unigin_and_unigcnii():
         assert acc["test_acc"] > 35.0, (model, res, acc)
 
 
+def test_dist_trainer_rejects_nonsum_aggr_for_unignn():
+    """first_aggr != 'sum' must be an explicit error for the UniGNN family
+    (it used to be silently ignored while the CLI reported the requested
+    value)."""
+    import pytest
+
+    hg, y = homophilic_hypergraph(100, 60, 3, seed=20)
+    x = np.random.default_rng(21).normal(size=(100, 8)).astype(np.float32)
+    for model in ("UniGIN", "UniGCNII"):
+        with pytest.raises(ValueError, match="first_aggr"):
+            DistTrainer(hg, x, y, nhid=8, n_shards=4, model=model,
+                        first_aggr="max")
+
+
 def test_dist_trainer_max_chained_epochs():
     """Regression: first max_device()/device() call used to happen inside
     the chained-epoch scan trace, caching traced constants that leaked
@@ -54,6 +68,10 @@ def test_dist_trainer_max_chained_epochs():
     x = np.random.default_rng(13).normal(size=(300, 12)).astype(np.float32)
     split = rand_train_test_idx(y, seed=14)
     tr = DistTrainer(hg, x, y, nhid=16, n_shards=8, first_aggr="max")
-    res = tr.fit(split["train"], epochs=10)
+    # max first-aggr converges slower than sum on this synthetic; 60 epochs
+    # reaches ~90% test acc (10 epochs is still below chance — round-2's
+    # miscalibrated band).  The regression this guards (tracer leak) would
+    # surface as an UnexpectedTracerError, not low accuracy.
+    res = tr.fit(split["train"], epochs=60)
     acc = tr.evaluate(split)  # retrace after the scan — must not leak
-    assert np.isfinite(res["final_loss"]) and acc["test_acc"] > 30.0
+    assert np.isfinite(res["final_loss"]) and acc["test_acc"] > 50.0

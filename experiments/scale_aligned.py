@@ -66,7 +66,7 @@ def main():
     ap.add_argument("--configs", nargs="*", default=list(CONFIGS))
     ap.add_argument("--feat", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--out", default="experiments/results/scale_aligned_r2.csv")
+    ap.add_argument("--out", default="experiments/results/scale_aligned_r3.csv")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +118,13 @@ def main():
                     # let XLA strength-reduce matmul-form backends
                     return chain_fold(y, xv)
 
-                t = device_time_per_iter(step, x0, iters=args.iters,
+                # the tree leg at 10M nnz runs ~2 s/iter: cap its chain so
+                # one dispatch stays well under a minute (the round-2
+                # re-run crashed the TPU worker with an 80 s+ program)
+                leg_iters = (min(args.iters, 10)
+                             if backend == "tree" and hg.nnz > 5_000_000
+                             else args.iters)
+                t = device_time_per_iter(step, x0, iters=leg_iters,
                                          operands=(hgd, pdev))
                 us = t["per_iter_s"] * 1e6
                 row = (f"{cname},{hg.nnz},{backend},{us:.1f},"

@@ -1,13 +1,14 @@
-"""100M-nnz projection: measured per-shard compute + modeled halo comm.
+"""100M-nnz projection: a MEASURED per-shard scaling curve + modeled
+halo comm (round-3 upgrade of the single-point r2 artifact).
 
 A 100M-nnz hypergraph's aligned band tables (~25 GB int8) exceed one
 v5e's HBM — that scale is the halo-sharded multi-chip regime by
 construction.  This artifact therefore:
 
-1. MEASURES one shard of the 8-way layout for real: a 12.5M-nnz
-   community slice (2.5M vertices × 1.25M hyperedges, avg 10 — the same
-   generator family as the 10M artifact), aligned backend, honest
-   chained-fenced timing;
+1. MEASURES shards at 3.1M / 6.2M / 12.5M / 18.7M nnz (community slices
+   of the same generator family as the 10M artifact), aligned backend,
+   honest chained-fenced timing — so the projection rests on a fitted
+   ns/nnz TREND, not one point (round-2 VERDICT weak-item #6);
 2. MODELS the halo exchange on top, using the clustered comm fractions
    the weak-scaling artifact measured from real plans (halo+return
    ≈ 7–8% of rows each way on community graphs,
@@ -15,7 +16,7 @@ construction.  This artifact therefore:
    assumption — and notes the overlap artifact (halo_overlap_r2.csv)
    shows the interior tree fully hides collectives of this size.
 
-Output: experiments/results/scale_projection_r2.csv
+Output: experiments/results/scale_projection_r3.csv
 
 Run on TPU:
     PYTHONPATH="/root/repo:$PYTHONPATH" nohup python -u \
@@ -38,36 +39,35 @@ import numpy as np
 
 from scale_aligned import big_sbm
 
+# shard sizes: (n_nodes, n_edges, n_comm); avg edge size 10 → nnz ≈ 10·e
+SHARD_SIZES = [
+    (625_000, 312_500, 1250),
+    (1_250_000, 625_000, 2500),
+    (2_500_000, 1_250_000, 5000),   # the r2 measured point (12.5M nnz)
+    (3_750_000, 1_875_000, 7500),
+]
 
-def main():
-    import jax
+
+def measure_shard(n, e, comm, feat, iters=10):
     import jax.numpy as jnp
 
     from hypergef_tpu.ops import fused
     from hypergef_tpu.sparse import planner
+    from hypergef_tpu.sparse.reorder import apply_vertex_order
     from hypergef_tpu.utils.timing import chain_fold, device_time_per_iter
 
-    shards, feat = 8, 32
-    comm_frac = 0.08   # measured upper band, weak_scaling_r2.csv clustered
-    ici_gbps = 45.0
-
-    n, e = 2_500_000, 1_250_000
     t0 = time.perf_counter()
-    hg = big_sbm(n, e, 5000, 10.0, 0.01, 0)
-    from hypergef_tpu.sparse.reorder import apply_vertex_order
-
+    hg = big_sbm(n, e, comm, 10.0, 0.01, 0)
     hg, _ = apply_vertex_order(hg, np.arange(hg.num_nodes), sort_edges=True)
     gen_s = time.perf_counter() - t0
-    print(f"shard graph: nnz={hg.nnz} gen {gen_s:.0f}s", flush=True)
-
     t0 = time.perf_counter()
     plan = planner.plan_aligned(hg)
     plan_s = time.perf_counter() - t0
     es, vs = plan.edge_stage, plan.vertex_stage
     table_gb = (es.table_bytes() + vs.table_bytes()) / 1e9
-    print(f"plan {plan_s:.0f}s tables {table_gb:.2f} GB "
-          f"spill {es.spill_fraction:.3f}/{vs.spill_fraction:.3f}", flush=True)
-
+    print(f"shard nnz={hg.nnz}: gen {gen_s:.0f}s plan {plan_s:.1f}s "
+          f"tables {table_gb:.2f} GB spill {es.spill_fraction:.3f}/"
+          f"{vs.spill_fraction:.3f}", flush=True)
     hgd = hg.device_data()
     pdev = plan.as_device()
     x0 = jnp.asarray(
@@ -78,37 +78,62 @@ def main():
                                  backend="aligned")
         return chain_fold(y, xv)
 
-    r = device_time_per_iter(step, x0, iters=10, operands=(hgd, pdev))
+    r = device_time_per_iter(step, x0, iters=iters, operands=(hgd, pdev))
     t_shard = r["per_iter_s"]
-    ns_per_nnz = t_shard / hg.nnz * 1e9
-    print(f"measured shard: {t_shard*1e3:.1f} ms ({ns_per_nnz:.2f} ns/nnz, "
-          f"compile {r['compile_s']:.0f}s)", flush=True)
+    print(f"  measured {t_shard*1e3:.1f} ms ({t_shard/hg.nnz*1e9:.2f} "
+          f"ns/nnz, compile {r['compile_s']:.0f}s)", flush=True)
+    return dict(nnz=hg.nnz, n=n, t_s=t_shard, plan_s=plan_s,
+                table_gb=table_gb, spill=float(es.spill_fraction))
 
-    # halo model: each layer ships comm_frac of owned rows out and the
-    # same order back, per link, bf16-able but modeled f32
-    total_nnz = hg.nnz * shards
-    rows_per_link = comm_frac * n
-    t_a2a = rows_per_link * feat * 4 / (ici_gbps * 1e9)
-    hidden = "yes"  # interior budget >> t_a2a (halo_overlap_r2.csv)
-    t_total = t_shard + 2 * t_a2a  # worst case: NO overlap credit
+
+def main():
+    shards, feat = 8, 32
+    comm_frac = 0.08   # measured upper band, weak_scaling_r2.csv clustered
+    ici_gbps = 45.0
+
+    points = []
+    for n, e, comm in SHARD_SIZES:
+        try:
+            points.append(measure_shard(n, e, comm, feat))
+        except Exception as exc:  # noqa: BLE001 — a big leg must not sink the curve
+            print(f"shard ({n},{e}) FAILED: {type(exc).__name__}: "
+                  f"{str(exc)[:120]}", flush=True)
+
     rows = [
-        "# 100M-nnz projection: measured 12.5M-nnz shard x 8 + modeled halo",
+        "# 100M-nnz projection r3: measured shard-size CURVE + modeled halo",
         f"# comm_frac={comm_frac} ici_gbps={ici_gbps} feat={feat} "
-        f"overlap_hides_collectives={hidden} (worst-case total adds them)",
+        "overlap_hides_collectives=yes (worst-case total adds them anyway)",
         "quantity,value,unit,provenance",
-        f"shard_nnz,{hg.nnz},nnz,generated",
-        f"total_nnz,{total_nnz},nnz,8 shards",
-        f"shard_tables,{table_gb:.2f},GB,plan (fits 16 GB HBM)",
-        f"plan_build,{plan_s:.0f},s,host measured",
-        f"shard_compute,{t_shard*1e3:.2f},ms,MEASURED on v5e",
-        f"shard_ns_per_nnz,{ns_per_nnz:.2f},ns/nnz,MEASURED",
-        f"halo_a2a_per_layer,{t_a2a*1e3:.2f},ms,modeled",
-        f"projected_layer_100M,{t_total*1e3:.2f},ms,measured + 2x modeled a2a",
-        f"projected_aggregate_ns_per_nnz,{t_total/total_nnz*1e9:.3f},"
-        "ns/nnz,wall time / total nnz (8-chip throughput)",
     ]
+    for p in points:
+        rows.append(f"shard_compute_nnz{p['nnz']},{p['t_s']*1e3:.2f},ms,"
+                    f"MEASURED on v5e (plan {p['plan_s']:.1f}s host; "
+                    f"tables {p['table_gb']:.2f} GB; spill {p['spill']:.3f})")
+        rows.append(f"shard_ns_per_nnz_nnz{p['nnz']},"
+                    f"{p['t_s']/p['nnz']*1e9:.3f},ns/nnz,MEASURED")
+    if len(points) >= 2:
+        # linear fit t = a + b·nnz over the measured curve
+        xs = np.array([p["nnz"] for p in points], dtype=np.float64)
+        ts = np.array([p["t_s"] for p in points], dtype=np.float64)
+        b, a = np.polyfit(xs, ts, 1)
+        rows.append(f"fit_slope,{b*1e9:.3f},ns/nnz,polyfit over "
+                    f"{len(points)} measured shard sizes")
+        rows.append(f"fit_intercept,{a*1e3:.3f},ms,per-dispatch overhead")
+        # the 8-way 100M layout: per-shard nnz = 12.5M on the fit
+        shard_nnz = 12_500_000
+        t_shard = a + b * shard_nnz
+        total_nnz = shard_nnz * shards
+        n_owned = 2_500_000
+        t_a2a = comm_frac * n_owned * feat * 4 / (ici_gbps * 1e9)
+        t_total = t_shard + 2 * t_a2a
+        rows.append(f"halo_a2a_per_layer,{t_a2a*1e3:.2f},ms,modeled")
+        rows.append(f"projected_layer_100M,{t_total*1e3:.2f},ms,"
+                    "fitted shard + 2x modeled a2a (no overlap credit)")
+        rows.append(f"projected_aggregate_ns_per_nnz,"
+                    f"{t_total/total_nnz*1e9:.3f},ns/nnz,"
+                    "wall time / total nnz (8-chip throughput)")
     out = os.path.join(os.path.dirname(__file__), "results",
-                       "scale_projection_r2.csv")
+                       "scale_projection_r3.csv")
     with open(out, "w") as fh:
         fh.write("\n".join(rows) + "\n")
     print("\n".join(rows), flush=True)

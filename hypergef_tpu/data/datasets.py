@@ -165,24 +165,90 @@ def load_cornell_dataset(
     return HypergraphDataset(name, hg, feats, labels)
 
 
-def load_yelp_dataset(root: str, name: str = "yelp") -> HypergraphDataset:
-    """Yelp business/user hypergraph (load_dataset.py:238-303)."""
-    import pandas as pd
+def _read_csv(path):
+    """Tiny dependency-free CSV reader: (header list, list of row lists)."""
+    with open(path) as f:
+        lines = [l.rstrip("\n") for l in f if l.strip()]
+    header = [c.strip() for c in lines[0].split(",")]
+    rows = [l.split(",") for l in lines[1:]]
+    return header, rows
 
+
+def _bag_of_words(texts, vocab_size=1000):
+    """Counting vectorizer over lowercase word tokens, top-``vocab_size``
+    by corpus frequency (the reference's sklearn CountVectorizer role,
+    load_dataset.py:237-240, without the sklearn dependency)."""
+    import re
+
+    token_re = re.compile(r"[a-z0-9']+")
+    docs = [token_re.findall(t.lower()) for t in texts]
+    counts = {}
+    for d in docs:
+        for t in d:
+            counts[t] = counts.get(t, 0) + 1
+    vocab = [t for t, _ in sorted(counts.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:vocab_size]]
+    index = {t: i for i, t in enumerate(vocab)}
+    bow = np.zeros((len(docs), len(vocab)), dtype=np.float32)
+    for i, d in enumerate(docs):
+        for t in d:
+            j = index.get(t)
+            if j is not None:
+                bow[i, j] += 1.0
+    return bow
+
+
+def load_yelp_dataset(root: str, name: str = "yelp",
+                      name_dictionary_size: int = 1000) -> HypergraphDataset:
+    """Yelp restaurant hypergraph — the reference's exact raw schema
+    (load_dataset.py:199-303; each node a restaurant, each hyperedge the
+    set of restaurants one user visited):
+
+    * ``yelp_restaurant_latlong.csv`` — latitude/longitude per node
+    * ``yelp_restaurant_locations.csv`` — ``state_int``/``city_int``
+      columns (1-based category codes) → one-hot features
+    * ``yelp_restaurant_name.csv`` — names → bag-of-words (top 1000)
+    * ``yelp_restaurant_business_stars.csv`` — integer star labels
+      (shifted to 0-based, the Dataloader label-shift parity)
+    * ``yelp_restaurant_incidence_H.csv`` — ``node``/``he`` columns,
+      1-based incidence pairs
+    """
     d = _raw_dir(root, name)
-    bus = pd.read_csv(_require(os.path.join(d, "yelp_business.csv"), name))
-    edges = pd.read_csv(_require(os.path.join(d, "yelp_edges.csv"), name))
-    feats = bus.drop(columns=[c for c in ("business_id", "label") if c in bus]).to_numpy(
-        dtype=np.float32
-    )
-    labels = bus["label"].to_numpy(dtype=np.int32)
-    hg = Hypergraph.from_coo(
-        edges["vertex"].to_numpy(np.int64),
-        edges["edge"].to_numpy(np.int64),
-        num_nodes=feats.shape[0],
-        name=name,
-    )
-    return HypergraphDataset(name, hg, feats, labels)
+    sub = os.path.join(d, name)
+    if not os.path.isdir(sub):  # reference layout nests raw/yelp/
+        sub = d
+    _, ll_rows = _read_csv(
+        _require(os.path.join(sub, "yelp_restaurant_latlong.csv"), name))
+    latlong = np.asarray([[float(x) for x in r] for r in ll_rows], np.float32)
+    loc_hdr, loc_rows = _read_csv(
+        _require(os.path.join(sub, "yelp_restaurant_locations.csv"), name))
+    s_col = loc_hdr.index("state_int")
+    c_col = loc_hdr.index("city_int")
+    state_int = np.asarray([int(r[s_col]) for r in loc_rows])
+    city_int = np.asarray([int(r[c_col]) for r in loc_rows])
+    num_nodes = len(loc_rows)
+    state_1hot = np.zeros((num_nodes, state_int.max()), np.float32)
+    state_1hot[np.arange(num_nodes), state_int - 1] = 1
+    city_1hot = np.zeros((num_nodes, city_int.max()), np.float32)
+    city_1hot[np.arange(num_nodes), city_int - 1] = 1
+    _, name_rows = _read_csv(
+        _require(os.path.join(sub, "yelp_restaurant_name.csv"), name))
+    name_bow = _bag_of_words([",".join(r) for r in name_rows],
+                             name_dictionary_size)
+    features = np.hstack([latlong, state_1hot, city_1hot, name_bow])
+    _, star_rows = _read_csv(_require(
+        os.path.join(sub, "yelp_restaurant_business_stars.csv"), name))
+    labels = np.asarray([int(float(r[0])) for r in star_rows], np.int32)
+    labels = labels - labels.min()  # 0-based (transform_data label shift)
+    h_hdr, h_rows = _read_csv(_require(
+        os.path.join(sub, "yelp_restaurant_incidence_H.csv"), name))
+    n_col = h_hdr.index("node")
+    e_col = h_hdr.index("he")
+    vs = np.asarray([int(r[n_col]) for r in h_rows], np.int64) - 1
+    es = np.asarray([int(r[e_col]) for r in h_rows], np.int64) - 1
+    hg = Hypergraph.from_coo(vs, es, num_nodes=num_nodes, name=name)
+    assert num_nodes == len(labels) == features.shape[0]
+    return HypergraphDataset(name, hg, features, labels)
 
 
 def load_dataset(

@@ -209,16 +209,17 @@ def _bitmm_call(words, b, mp, kp, tm, probe_mode, interpret):
     )(words, b)
 
 
-def _apply_pack(x, pack: BitPack, probe_mode="full", interpret=None):
+def _apply_pack(x, pack: BitPack, probe_mode="full", interpret=None,
+                lane_pad=_LANE, tm=_DEF_TM):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     f = x.shape[1]
-    fp = _round_up(f, _LANE)
+    fp = _round_up(f, lane_pad)
     xb = jnp.zeros((pack.kp, fp), jnp.bfloat16).at[: pack.k, :f].set(
         x.astype(jnp.bfloat16)
     )
     out = _bitmm_call(pack.words, xb, pack.mp, pack.kp,
-                      min(_DEF_TM, pack.mp), probe_mode, interpret)
+                      min(tm, pack.mp), probe_mode, interpret)
     return out[: pack.m, :f]
 
 

@@ -35,7 +35,7 @@ from hypergef_tpu.ops import refops, segments
 _DEFAULT_BACKEND = "cumsum"
 _VALID = (
     "auto", "xla", "cumsum", "ell", "tree", "dense", "bsr", "precomp",
-    "pallas", "multihot", "pallas_sparse", "aligned",
+    "pallas", "multihot", "pallas_sparse", "aligned", "bitstream",
 )
 
 
@@ -79,7 +79,7 @@ def _resolve(backend: Optional[str], plan, nnz: Optional[int] = None) -> str:
                 )
                 _warned_cumsum = True
     if b in ("ell", "pallas", "tree", "dense", "bsr", "precomp", "multihot",
-             "pallas_sparse", "aligned") and plan is None:
+             "pallas_sparse", "aligned", "bitstream") and plan is None:
         raise ValueError(f"backend {b!r} requires a plan (pass plan=...)")
     return b
 
@@ -219,6 +219,11 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
         xe = xe * wdiag
     if b == "dense" and getattr(plan, "dense", None) is not None:
         xv = _dense_e2v(plan.dense, xe)
+    elif b == "bitstream" and getattr(plan, "bitstream", None) is not None:
+        from hypergef_tpu.ops.bitstream import bit_matvec
+
+        bi = plan.bitstream
+        xv = bit_matvec(xe, bi.h_pack, bi.ht_pack)
     elif b in ("aligned", "multihot", "pallas_sparse"):
         # the E→V stage is a plain SUM — ride the backend's own
         # matmul-form stage (gather-free band/multihot matmuls) instead
@@ -323,6 +328,11 @@ def hgnn_aggregate(
         if wdiag is not None:
             xe = xe * wdiag
         return _dense_e2v(dense, xe) * hgd.degV
+    if b == "bitstream":
+        from hypergef_tpu.ops import bitstream as bits
+
+        return bits.hgnn_aggregate_bitstream(
+            hgd, x, wdiag, first_aggr, _get(plan, "bitstream"))
     if b == "ell":
         pd = _get(plan, "tile").device()
         xe = _ell_stage(
@@ -415,6 +425,11 @@ def unignn_aggregate(
         if use_deg:
             xv = xv * hgd.degV
         return xv
+    if b == "bitstream":
+        from hypergef_tpu.ops import bitstream as bits
+
+        return bits.unignn_aggregate_bitstream(
+            hgd, x, use_deg, _get(plan, "bitstream"))
     if b == "ell":
         pd = _get(plan, "tile").device()
         xe = _ell_stage(

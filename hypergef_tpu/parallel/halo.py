@@ -250,7 +250,21 @@ def plan_halo(hg, n_shards: int, fan: int = 8,
     MXU matmuls (uniform :class:`planner.AlignedStage`, stacked across
     shards) instead of gather trees — the sparse fast path for
     community-sorted graphs, composed into the distributed program.
-    Falls back to trees when any shard's interior would spill >25%."""
+    Falls back to trees when any shard's interior would spill >25%.
+
+    ``local_form="auto"`` consults the persisted single-chip autotune
+    record for this graph (sparse/autotune.py — the measured
+    partition_dict analogue): a graph whose measured-best single-chip
+    backend is ``aligned`` gets the aligned interior; anything else (or
+    no record yet) gets trees.  No fresh measurement happens here."""
+    if local_form == "auto":
+        from hypergef_tpu.sparse import autotune as _at
+
+        rec = _at.load_cached(_at.graph_key(hg, 32))
+        local_form = (
+            "aligned" if rec is not None and rec.get("backend") == "aligned"
+            else "tree"
+        )
     D = n_shards
     bounds = edge_partition_bounds(hg, D)
     n_own = _round_up(hg.num_nodes, D) // D

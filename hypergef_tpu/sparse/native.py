@@ -85,6 +85,15 @@ def _load() -> Optional[ctypes.CDLL]:
             i32p,  # order out [n]
         ]
         lib.hg_coarsen_order.restype = None
+    if hasattr(lib, "hg_aligned_windows"):
+        lib.hg_aligned_windows.argtypes = [
+            ctypes.c_int64, i64p,  # n_groups, starts [n_groups+1]
+            i64p, ctypes.c_int64,  # bs (group-sorted blocks), nb
+            i64p, ctypes.c_int64,  # widths, n_widths
+            ctypes.c_int64, ctypes.c_int64,  # block_cost, spill_cost
+            i64p, i64p,  # off out, wid out
+        ]
+        lib.hg_aligned_windows.restype = None
     _LIB = lib
     return _LIB
 
@@ -224,3 +233,25 @@ def community_order_native(hg, iters: int = 8):
         ctypes.c_int32(iters), _i32p(order),
     )
     return order
+
+
+def aligned_windows_native(starts, bs, nb, widths, block_cost, spill_cost):
+    """C++ per-group window optimizer (planner._group_windows_opt twin);
+    None if the lib is unavailable.  ``starts`` [n_groups+1] int64 group
+    boundaries into ``bs`` (block ids sorted within each group)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hg_aligned_windows"):
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    bs = np.ascontiguousarray(bs, dtype=np.int64)
+    widths = np.ascontiguousarray(widths, dtype=np.int64)
+    n_groups = len(starts) - 1
+    off = np.empty(n_groups, dtype=np.int64)
+    wid = np.empty(n_groups, dtype=np.int64)
+    lib.hg_aligned_windows(
+        n_groups, _i64p(starts), _i64p(bs), ctypes.c_int64(nb),
+        _i64p(widths), len(widths),
+        ctypes.c_int64(block_cost), ctypes.c_int64(spill_cost),
+        _i64p(off), _i64p(wid),
+    )
+    return off, wid

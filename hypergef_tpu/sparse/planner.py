@@ -540,6 +540,7 @@ class AggregationPlan:
     multihot: Optional["TreePlan"] = None  # multihot-MXU TreePlan
     pallas_sparse: Optional["TreePlan"] = None  # pallas-level-0 TreePlan
     aligned: Optional["TreePlan"] = None  # segment-aligned banded TreePlan
+    bitstream: Optional[object] = None  # ops.bitstream.BitIncidence
     preferred_backend: str = "tree"
 
 
@@ -563,6 +564,18 @@ DENSE_AUTO_THRESHOLD = 32_000_000
 # recorded negative result as a default — see DenseIncidence.)
 DENSE_STREAM_VS_GATHER = 2000
 DENSE_STREAM_MAX_ENTRIES = 800_000_000
+
+# The bit-packed Pallas stream (ops/bitstream.py) carries 8x fewer table
+# bytes than int8, which does NOT make it faster where int8 fits — on
+# v5e the dense two-stage is bound by the MXU A-element rate (~768G
+# elem/s), which numerically equals the int8 HBM stream; measured 428 us
+# (int8/XLA) vs 549 us (bits/Pallas) on the pubmed_real shape
+# (scripts/probe_bitstream{,2}.py, KERNEL_NOTES round 3).  What the
+# packing DOES buy is table capacity: the dense-stream regime extends 8x
+# past the int8 entry cap before the HBM-resident table hits the same
+# byte budget.  Same ratio gate as int8 (the MXU floor scales with N*E
+# exactly like the int8 byte floor did).
+BITSTREAM_MAX_ENTRIES = 8 * DENSE_STREAM_MAX_ENTRIES
 
 # nnz below which the cumsum backend (MXU block-scan prefix) beats the
 # gather tree on graphs with no exploitable structure — measured
@@ -680,6 +693,26 @@ def plan_aggregation(
         # streaming the int8 H beats per-nnz gathers (constants above)
         dense = DenseIncidence.from_hypergraph(hg)
         preferred = "dense"
+    bitstream = None
+    if (
+        dense is None
+        and dense_threshold > 0
+        and preferred == "tree"
+        and DENSE_STREAM_MAX_ENTRIES
+        < hg.num_nodes * hg.num_edges
+        <= BITSTREAM_MAX_ENTRIES
+        and hg.num_nodes * hg.num_edges < DENSE_STREAM_VS_GATHER * max(hg.nnz, 1)
+    ):
+        # past the int8 table cap but still stream-favored: the
+        # bit-packed Pallas kernel holds the table at 1/8 the bytes
+        # (see BITSTREAM_MAX_ENTRIES note)
+        from hypergef_tpu.ops.bitstream import BitIncidence
+
+        try:
+            bitstream = BitIncidence.from_hypergraph(hg)
+            preferred = "bitstream"
+        except ValueError:
+            bitstream = None  # non-binary incidence
     if preferred == "tree" and hg.nnz <= CUMSUM_PREFER_NNZ:
         # Small uniform-random graphs beyond the dense regime: the
         # cumsum backend (with the MXU block-scan prefix,
@@ -705,7 +738,8 @@ def plan_aggregation(
     tile = plan_tiles(hg) if with_tile else None
     return AggregationPlan(
         tree=tree, dense=dense, tile=tile, bsr=bsr, precomp=precomp,
-        multihot=multihot, aligned=aligned, preferred_backend=preferred,
+        multihot=multihot, aligned=aligned, bitstream=bitstream,
+        preferred_backend=preferred,
     )
 
 
@@ -1272,13 +1306,19 @@ def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
     """
     n_groups = len(cnt_per_group)
     widths = tuple(w for w in widths if w <= max_width) or (max_width,)
-    order = np.lexsort((blk, grp))
-    gs, bs = grp[order], blk[order]
+    # one combined-key stable sort instead of a two-pass lexsort: grp is
+    # already non-decreasing (it derives from repeat(arange(S))), so the
+    # group-separated key sorts blk within groups in a single pass — at
+    # 10M nnz this and the per-width reduceat below (which replaces a
+    # lexsort per width) cut this function ~6x (round-3 mandate #5)
+    sep = nb + max(widths) + 1
+    key0 = grp * sep + blk
+    order = np.argsort(key0, kind="stable")
+    gs, bs, key = grp[order], blk[order], key0[order]
     starts = np.zeros(n_groups + 1, dtype=np.int64)
     np.cumsum(cnt_per_group, out=starts[1:])
     nonempty = cnt_per_group > 0
-    sep = nb + max(widths) + 1
-    key = gs * sep + bs
+    ne_starts = starts[:-1][nonempty]
     j = np.arange(len(gs), dtype=np.int64)
     # spill_fudge=256 measured best on SBM-60k (640 widened windows and
     # cost +17%; spill row gathers are cheaper at the margin than extra
@@ -1289,6 +1329,16 @@ def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
     # default stands.
     block_cost = G * block_rows + block_rows * feat_bytes
     spill_cost = G + feat_bytes + spill_fudge
+    # native C++ twin (csrc hg_aligned_windows): the per-group two-pointer
+    # sweep replaces every searchsorted/reduceat pass below — the aligned
+    # plan's hot loop at 10M+ nnz (bit-identical; tests/test_native.py)
+    from hypergef_tpu.sparse import native as _native
+
+    nat = _native.aligned_windows_native(
+        starts, bs, nb, np.asarray(widths, np.int64), block_cost, spill_cost
+    ) if len(gs) else None
+    if nat is not None:
+        return nat
     best_cost = np.full(n_groups, np.inf)
     best_off = np.zeros(n_groups, dtype=np.int64)
     best_w = np.full(n_groups, widths[0], dtype=np.int64)
@@ -1296,14 +1346,20 @@ def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
         if len(gs):
             right = np.searchsorted(key, key + w, side="left")
             cover = right - j
-            # per-group argmax coverage: sort by (group, coverage) and
-            # take the last entry of each group's run
-            perm = np.lexsort((cover, gs))
-            last = perm[starts[1:][nonempty] - 1]
+            # per-group argmax coverage in O(n): groups are contiguous
+            # runs in the sorted order, so a maximum.reduceat gives the
+            # max and a second masked reduceat its LAST position (same
+            # tie-break as the lexsort this replaces: largest block
+            # offset among equal-coverage windows)
             maxcov = np.zeros(n_groups, dtype=np.int64)
-            maxcov[nonempty] = cover[last]
+            maxcov[nonempty] = np.maximum.reduceat(cover, ne_starts)
+            is_max = cover == maxcov[gs]
+            last = np.zeros(n_groups, dtype=np.int64)
+            last[nonempty] = np.maximum.reduceat(
+                np.where(is_max, j, -1), ne_starts)
             off_w = np.zeros(n_groups, dtype=np.int64)
-            off_w[nonempty] = np.minimum(bs[last], max(nb - w, 0))
+            off_w[nonempty] = np.minimum(
+                bs[last[nonempty]], max(nb - w, 0))
         else:
             maxcov = np.zeros(n_groups, dtype=np.int64)
             off_w = np.zeros(n_groups, dtype=np.int64)

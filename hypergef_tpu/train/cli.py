@@ -44,6 +44,10 @@ def parse(argv=None):
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--profile", type=int, default=0)
     # TPU-native extensions
+    p.add_argument("--tune", action="store_true",
+                   help="measured per-graph backend/parameter autotune "
+                        "(sparse/autotune.py) with persistent cache — the "
+                        "reference's partition_dict, measured not hard-coded")
     p.add_argument("--backend", type=str, default="auto",
                    help="auto|dense|tree|cumsum|xla|ell|pallas")
     p.add_argument("--platform", type=str, default=None,
@@ -129,6 +133,7 @@ def main(argv=None):
         epochs=args.epochs,
         seed=args.seed,
         backend=args.backend,
+        tune=args.tune,
     )
     if args.profile:
         # reference --profile fast path (hgsys.py:146-159): time the raw

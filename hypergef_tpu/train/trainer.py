@@ -50,6 +50,12 @@ class TrainConfig:
     train_prop: float = 0.5
     valid_prop: float = 0.25
     backend: Optional[str] = "auto"  # auto → plan-preferred (dense|tree)
+    # measured autotune (sparse/autotune.py): replace the static ladder
+    # with a per-graph measured sweep, persisted across processes (the
+    # reference's partition_dict analogue, hypergraph.py:74-77 — but
+    # measured on THIS device, not hard-coded).  Cold first run; instant
+    # after (cache keyed by graph shape + feature width + device kind).
+    tune: bool = False
 
 
 def make_optimizer(lr: float, wd: float) -> optax.GradientTransformation:
@@ -67,7 +73,13 @@ class Trainer:
         self.cfg = cfg
         self.hg = hg
         self.plan = plan
-        if plan is None and cfg.backend not in ("xla", "cumsum"):
+        if plan is None and cfg.tune:
+            from hypergef_tpu.sparse.autotune import autotune_plan
+
+            # the aggregation's steady-state feature width is nhid (the
+            # hidden layers dominate; layer 1 runs once at nfeat)
+            self.plan = autotune_plan(hg, feature_size=cfg.nhid)
+        elif plan is None and cfg.backend not in ("xla", "cumsum"):
             from hypergef_tpu.sparse.planner import plan_aggregation
 
             self.plan = plan_aggregation(

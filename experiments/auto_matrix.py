@@ -63,9 +63,9 @@ def applicable_backends(plan):
 
 def main():
     out_path = os.path.join(os.path.dirname(__file__), "results",
-                            "auto_matrix_r2.csv")
+                            "auto_matrix_r3.csv")
     rows = ["workload,nnz,auto_pick,auto_us,best_fixed,best_fixed_us,"
-            "auto_over_best"]
+            "auto_over_best,tuned_pick,tuned_matches_best"]
     for name, hg in workloads():
         plan = plan_aggregation(hg)
         hgd = hg.device_data()
@@ -88,8 +88,17 @@ def main():
         auto_pick = plan.preferred_backend
         auto_us = times.get(auto_pick, float("nan"))
         best = min(times, key=times.get)
+        # round-3: the PRODUCT tuning path (what `--tune` runs —
+        # sparse/autotune.autotune with persistence); its pick should
+        # agree with the interleaved ground truth above
+        from hypergef_tpu.sparse.autotune import autotune
+
+        tuned = autotune(hg, F)
+        near_best = [b for b, t in times.items()
+                     if t <= times[best] * 1.15]  # within chip jitter
         row = (f"{name},{hg.nnz},{auto_pick},{auto_us:.1f},{best},"
-               f"{times[best]:.1f},{auto_us / times[best]:.3f}")
+               f"{times[best]:.1f},{auto_us / times[best]:.3f},"
+               f"{tuned.backend},{tuned.backend in near_best}")
         print(row, "|", {k: round(v, 1) for k, v in times.items()},
               flush=True)
         rows.append(row)

@@ -193,10 +193,13 @@ def _ell_stage(gather_idx, mask, seg_ids, num_segments, x, aggr="sum"):
 # fast max first-aggregation (argmax-carrying tree + exact VJP)
 # ----------------------------------------------------------------------
 def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
-    """Max V→E via the argmax-carrying tree (ops/maxops), then the
-    requested backend's E→V sum stage.  Falls back to the nnz oracle
-    when no (plain) tree plan is available."""
-    from hypergef_tpu.ops import maxops
+    """Max V→E via the aligned masked-argmax Pallas kernel when an
+    aligned stage is available (round 3 — VMEM-resident band planes at
+    VPU rate, ops/aligned_max; was the ~5× gap vs sum), the
+    argmax-carrying tree (ops/maxops) otherwise; then the requested
+    backend's E→V sum stage.  Falls back to the nnz oracle when no plan
+    form supports the record table."""
+    from hypergef_tpu.ops import aligned_max, maxops
     from hypergef_tpu.ops.tree import (
         AlignedStageBDev, AlignedStageDev, TiledStageDev,
     )
@@ -207,13 +210,26 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
     if dev is None:
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
     e_stage, v_stage = tree_plan.device()
-    if isinstance(e_stage, (TiledStageDev, AlignedStageDev, AlignedStageBDev)):
-        # max needs the argmax-carrying plain-tree levels; matmul-form
-        # stages cannot express it — route to the exact oracle path
+    fe_stage = fv_stage = None
+    if b in ("aligned", "multihot", "pallas_sparse"):
+        fast = getattr(plan, b, None)
+        if fast is not None and hasattr(fast, "device"):
+            fe_stage, fv_stage = fast.device()
+    aligned_kinds = (AlignedStageDev, AlignedStageBDev)
+    if fe_stage is not None and isinstance(fe_stage, aligned_kinds):
+        xe = aligned_max.v2e_max_aligned(
+            x, fe_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr)
+    elif isinstance(e_stage, aligned_kinds):
+        # raw aligned TreePlan passed directly
+        xe = aligned_max.v2e_max_aligned(
+            x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr)
+    elif isinstance(e_stage, TiledStageDev):
+        # tiled multihot stages carry no argmax — exact oracle path
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
-    xe = maxops.v2e_max_tree(
-        x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr
-    )
+    else:
+        xe = maxops.v2e_max_tree(
+            x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr
+        )
     xe = xe * hgd.degE
     if wdiag is not None:
         xe = xe * wdiag

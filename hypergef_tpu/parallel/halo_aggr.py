@@ -51,13 +51,6 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
     cross-process mesh cannot consume directly."""
     if first_aggr not in ("sum", "mean", "max"):
         raise ValueError("halo path supports first_aggr in {sum, mean, max}")
-    if first_aggr == "max" and plan.local_form == "aligned":
-        # the banded interior stage is a sum-form matmul; max needs the
-        # gather-tree interior — build the plan with local_form="tree"
-        raise ValueError(
-            "first_aggr='max' requires a tree-form halo plan "
-            "(plan_halo(..., local_form='tree'))"
-        )
     if plan_dev is None:
         plan_dev = plan.device()
     specs = jax.tree_util.tree_map(lambda _: P(EDGE_AXIS), plan_dev)
@@ -97,7 +90,16 @@ def halo_hgnn_aggregate(plan, mesh, x_own, wdiag_stacked=None,
                 num_inputs=plan.e_int_pad, num_segments=plan.n_own,
                 group_rows=128, window_blocks=plan.int_aligned["wb_b"],
             )
-            xe_int = tree_matvec(x_blk, fwd, bwd)
+            if first_aggr == "max":
+                # round 3: max keeps the aligned interior — masked
+                # argmax Pallas kernel + record-routed VJP over the
+                # transpose aligned stage (ops/aligned_max); was a hard
+                # error forcing tree-form plans
+                from hypergef_tpu.ops.aligned_max import aligned_max_matvec
+
+                xe_int = aligned_max_matvec(x_blk, fwd, bwd)
+            else:
+                xe_int = tree_matvec(x_blk, fwd, bwd)
         elif first_aggr == "max":
             xe_int = _apply_levels_max(x_blk, int_levels, int_fi, int_fm)
         else:

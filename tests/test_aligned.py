@@ -177,9 +177,11 @@ def test_bucketed_width_merge_clamps_offsets():
     assert np.isfinite(out).all()
 
 
-def test_aligned_max_falls_back(sorted_hg):
-    """first_aggr='max' cannot run on matmul-form stages — a RAW aligned
-    TreePlan must route to the exact oracle, not crash."""
+def test_aligned_max_raw_plan_runs_fast(sorted_hg):
+    """first_aggr='max' on a RAW aligned TreePlan runs the masked-argmax
+    Pallas kernel (round 3, ops/aligned_max) — no oracle fallback.  The
+    V→E max values are exact; the E→V sum rides the bf16 band matmuls
+    like every aligned sum, hence the loose fwd tolerance."""
     hg = sorted_hg
     hgd = hg.device_data()
     x = jnp.asarray(
@@ -189,7 +191,17 @@ def test_aligned_max_falls_back(sorted_hg):
     want = refops.hgnn_aggregate_ref(hgd, x, None, "max")
     got = fused.hgnn_aggregate(hgd, x, None, "max", plan=al, backend="aligned")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=3e-2, atol=3e-2)
+    # the V→E stage itself must be EXACT (values and record table)
+    from hypergef_tpu.ops.aligned_max import aligned_max_with_arg
+    from hypergef_tpu.ops.maxops import tree_max_with_arg
+
+    tp = planner.plan_tree(hg)
+    te, _ = tp.device()
+    fe, _ = al.device()
+    yv, av = aligned_max_with_arg(x, fe)
+    yt, at = tree_max_with_arg(x, te)
+    assert jnp.array_equal(yv, yt) and jnp.array_equal(av, at)
 
 
 def test_aligned_max_full_plan_fast_e2v(sorted_hg):

@@ -88,14 +88,54 @@ def test_halo_max_grad_matches_oracle(small_hg):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
-def test_halo_max_rejects_aligned_plan(skewed_hg):
-    plan = plan_halo(skewed_hg, 2)
-    if plan.local_form != "aligned":
-        plan.local_form = "aligned"  # force the guard
-    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
-    x_own = jnp.zeros((2 * plan.n_own, 4), jnp.float32)
-    with pytest.raises(ValueError, match="tree-form"):
-        halo_hgnn_aggregate(plan, mesh, x_own, None, "max")
+def test_halo_max_on_aligned_interior():
+    """Round 3 (was a hard error): first_aggr='max' keeps the ALIGNED
+    interior — masked-argmax Pallas kernel forward + record-routed VJP
+    over the transpose aligned stage.  Forward and gradient must match
+    the dense oracle."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from weak_scaling import clustered_hypergraph
+
+    hg = clustered_hypergraph(4000, 2000, 8.0, seed=3)
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    plan = plan_halo(hg, 4, local_form="aligned")
+    assert plan.local_form == "aligned"
+    x = rand_x(hg, f=4, seed=8)
+    x_own = jnp.asarray(shard_vertex_features(plan, x))
+    out_own = halo_hgnn_aggregate(plan, mesh, x_own, None, "max")
+    got = unshard_vertex_features(plan, out_own)
+    want = dense_hgnn_oracle(hg, x, None, "max")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    cot = np.random.default_rng(9).normal(
+        size=(hg.num_nodes, 4)).astype(np.float32)
+    cot_own = jnp.asarray(shard_vertex_features(plan, cot))
+
+    def loss(xo):
+        return jnp.vdot(halo_hgnn_aggregate(plan, mesh, xo, None, "max"),
+                        cot_own)
+
+    got_g = unshard_vertex_features(
+        plan, np.asarray(jax.grad(loss)(x_own)))
+
+    from conftest import dense_incidence
+
+    H = jnp.asarray(dense_incidence(hg).astype(np.float32))
+    degE = jnp.asarray(hg.degE)
+    degV = jnp.asarray(hg.degV)
+
+    def oracle_loss(xf):
+        xe = jnp.max(
+            jnp.where(H.T[:, :, None] > 0, xf[None, :, :], -3.0e38), axis=1
+        )
+        xe = jnp.where(jnp.sum(H.T, axis=1)[:, None] > 0, xe, 0.0) * degE
+        xv = H @ xe * degV
+        return jnp.vdot(xv, jnp.asarray(cot))
+
+    want_g = np.asarray(jax.grad(oracle_loss)(jnp.asarray(x)))
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-4)
 
 
 def test_halo_with_wdiag(small_hg):

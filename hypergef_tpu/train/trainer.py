@@ -114,9 +114,14 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_train_step(self):
         model, hgd, plan, tx = self.model, self.hgd, self.plan, self.tx
-        x, y = self.x, self.y
 
-        def loss_fn(params, rng, train_idx):
+        # x/y enter as jit ARGUMENTS, not closure constants: captured
+        # device arrays are baked into the compile body, and on the
+        # tunneled backend the remote-compile HTTP request rejects
+        # bodies >~200 MB (wide-feature graphs like yelp: 50758x1862
+        # floats = 378 MB).  The incidence/plan tables stay captured —
+        # they are the part XLA specializes the schedule on.
+        def loss_fn(params, rng, train_idx, x, y):
             z = model.apply(
                 {"params": params},
                 x,
@@ -131,9 +136,9 @@ class Trainer:
             return nll
 
         @jax.jit
-        def step(params, opt_state, rng, train_idx):
+        def step(params, opt_state, rng, train_idx, x, y):
             rng, sub = jax.random.split(rng)
-            loss, grads = jax.value_and_grad(loss_fn)(params, sub, train_idx)
+            loss, grads = jax.value_and_grad(loss_fn)(params, sub, train_idx, x, y)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, rng, loss
@@ -142,10 +147,9 @@ class Trainer:
 
     def _build_forward(self):
         model, hgd, plan = self.model, self.hgd, self.plan
-        x = self.x
 
         @jax.jit
-        def forward(params):
+        def forward(params, x):
             return model.apply({"params": params}, x, hgd, plan, deterministic=True)
 
         return forward
@@ -162,14 +166,14 @@ class Trainer:
         loss = jnp.zeros(())
         for _ in range(warmup):
             params, opt_state, rng, loss = self._train_step(
-                params, opt_state, rng, train_idx
+                params, opt_state, rng, train_idx, self.x, self.y
             )
         float(loss)  # true device fence (block_until_ready is unreliable
         # on the tunneled backend — see utils/timing.sync)
         t0 = time.perf_counter()
         for _ in range(epochs):
             params, opt_state, rng, loss = self._train_step(
-                params, opt_state, rng, train_idx
+                params, opt_state, rng, train_idx, self.x, self.y
             )
         float(loss)
         t1 = time.perf_counter()
@@ -190,9 +194,8 @@ class Trainer:
         cfg = self.cfg
         train_idx = jnp.asarray(np.asarray(train_idx), dtype=jnp.int32)
         model, hgd, plan, tx = self.model, self.hgd, self.plan, self.tx
-        x, y = self.x, self.y
 
-        def one_step(carry, rng_key):
+        def one_step(carry, rng_key, x, y):
             params, opt_state = carry
 
             def loss_fn(p, rng):
@@ -209,18 +212,18 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        def run(params, opt_state, n):
+        def run(params, opt_state, x, y, n):
             def body(i, carry):
-                (p, o), _ = one_step(carry[0], jax.random.fold_in(jax.random.key(0), i))
+                (p, o), _ = one_step(carry[0], jax.random.fold_in(jax.random.key(0), i), x, y)
                 return ((p, o), 0.0)
             (p, o), _ = jax.lax.fori_loop(0, n, body, ((params, opt_state), 0.0))
             return p
 
         from hypergef_tpu.utils.timing import sync
 
-        f = jax.jit(run, static_argnums=2)
-        sync(f(self.params, self.opt_state, 1))
-        sync(f(self.params, self.opt_state, iters + 1))
+        f = jax.jit(run, static_argnums=4)
+        sync(f(self.params, self.opt_state, self.x, self.y, 1))
+        sync(f(self.params, self.opt_state, self.x, self.y, iters + 1))
 
         # min over repeats: tunnel dispatch jitter (0.5–24 ms) would
         # otherwise swamp the differenced window on single samples
@@ -228,7 +231,7 @@ class Trainer:
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                sync(f(self.params, self.opt_state, n))
+                sync(f(self.params, self.opt_state, self.x, self.y, n))
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -237,7 +240,7 @@ class Trainer:
         return max(t_long - t_short, 0.0) / iters
 
     def evaluate(self, split_idx) -> Dict[str, float]:
-        z = np.asarray(self._forward(self.params))
+        z = np.asarray(self._forward(self.params, self.x))
         y = np.asarray(self.y)
         out = {}
         for name, idx in split_idx.items():
@@ -250,11 +253,11 @@ class Trainer:
         from hypergef_tpu.utils.timing import sync
 
         for _ in range(warmup):
-            z = self._forward(self.params)
+            z = self._forward(self.params, self.x)
         sync(z)
         t0 = time.perf_counter()
         for _ in range(iters):
-            z = self._forward(self.params)
+            z = self._forward(self.params, self.x)
         sync(z)
         t1 = time.perf_counter()
         return (t1 - t0) / iters

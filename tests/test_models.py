@@ -22,7 +22,7 @@ def test_model_forward_shapes(setup, model):
     hg, x, y, split = setup
     cfg = TrainConfig(model=model, nhid=8, nlayer=2, epochs=1, warmup=0)
     tr = Trainer(cfg, hg, x, y)
-    z = np.asarray(tr._forward(tr.params))
+    z = np.asarray(tr._forward(tr.params, tr.x))
     assert z.shape == (hg.num_nodes, 4)
     # log_softmax rows sum to 1 in prob space
     np.testing.assert_allclose(np.exp(z).sum(axis=1), 1.0, rtol=1e-4)

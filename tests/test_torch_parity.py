@@ -70,7 +70,7 @@ def _losses_ours(tr, train_idx, epochs):
     idx = jnp.asarray(train_idx)
     out = []
     for _ in range(epochs):
-        params, opt_state, rng, loss = tr._train_step(params, opt_state, rng, idx)
+        params, opt_state, rng, loss = tr._train_step(params, opt_state, rng, idx, tr.x, tr.y)
         out.append(float(loss))
     return np.array(out, dtype=np.float64), params
 
@@ -79,7 +79,7 @@ def _final_preds_ours(tr, params):
     import flax
 
     tr.params = params
-    return np.asarray(tr._forward(params)).argmax(axis=1)
+    return np.asarray(tr._forward(params, tr.x)).argmax(axis=1)
 
 
 def test_hgnn_training_parity_vs_torch_reference(problem):

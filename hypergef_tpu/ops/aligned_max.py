@@ -41,25 +41,56 @@ _NEG = -3.0e38
 _BIG = np.int32(2**31 - 1)
 
 
-def _masked_argmax_kernel(f_dim: int):
-    """Per grid step (one group): band [G, W] int8 (+gid [1, W] int32,
-    win [W, F] f32) -> val [G, F] f32, arg [G, F] int32 (global ids,
-    -1 where no live candidate)."""
+def _masked_argmax_kernel(f_dim: int, g_rows: int, w_dim: int):
+    """Per grid step (one group): band [G, W] int8 + winT [F, W] f32 ->
+    val [G, F] f32, arg-SLOT [G, F] int32 (window slot index of the
+    winner; _BIG where no live candidate).  The slot -> global-id map
+    happens OUTSIDE the kernel (slot order == ascending vertex id by
+    plan construction, so min-slot == first CSR-order winner).
 
-    def kernel(band_ref, gid_ref, win_ref, val_ref, arg_ref):
+    Mosaic layout notes (this shape is what lowers on real TPU — the
+    first cut used [W, F] windows with per-f lane slicing, [1, W] gid
+    blocks, and mixed-replication selects, all of which Mosaic
+    rejects): candidate rows enter TRANSPOSED [F, W] so the per-feature
+    row read is a static sublane index; every replicated operand is
+    broadcast to full [G, *] shape BEFORE any select touching the i1
+    mask (Mosaic cannot relayout a non-singleton mask to replicated);
+    results accumulate in [G, F] registers via a lane-iota select
+    instead of lane-scalar stores."""
+
+    def kernel(band_ref, win_ref, val_ref, arg_ref):
         band = band_ref[0]  # [G, W] int8
-        live = band != 0
-        gids = gid_ref[:]  # [1, W] int32 (broadcasts over G)
+        live = band != 0  # [G, W] i1, native layout
+        # native-layout ({0,0}) zeros: adding them de-replicates every
+        # broadcast BEFORE it meets the i1 mask in a select — Mosaic
+        # cannot relayout a non-singleton mask to replicated, and a
+        # dim-1 iota is itself sublane-replicated, so the zeros must
+        # come from genuinely 2-D-varying values (the loaded band;
+        # an iota SUM for the [G, F] shape)
+        zi_w = jnp.minimum(band.astype(jnp.int32), 0)  # [G, W] zeros
+        zf_w = zi_w.astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, f_dim), 1)
+        sub_f = jax.lax.broadcasted_iota(jnp.int32, (g_rows, f_dim), 0)
+        zi_f = jnp.minimum(lane + sub_f, 0)  # [G, F] zeros, native
+        zf_f = zi_f.astype(jnp.float32)
+        slot = (jax.lax.broadcasted_iota(jnp.int32, (g_rows, w_dim), 1)
+                + zi_w)  # native lane-index plane
+        acc_v = jnp.full((g_rows, f_dim), _NEG, jnp.float32) + zf_f
+        acc_s = jnp.full((g_rows, f_dim), _BIG, jnp.int32) + zi_f
         for f in range(f_dim):
-            row = win_ref[0, :, f]  # [W]
-            cand = jnp.where(live, row[None, :], _NEG)  # [G, W]
+            row = win_ref[0, f, :]  # [W] (lane vector)
+            rowg = row[None, :] + zf_w  # [G, W] native
+            cand = jnp.where(live, rowg, _NEG)  # [G, W]
             m = jnp.max(cand, axis=1, keepdims=True)  # [G, 1]
-            hit = (cand == m) & live
-            # lowest candidate id among hits == first CSR-order winner
-            g_hit = jnp.where(hit, gids, _BIG)  # [G, W]
-            a = jnp.min(g_hit, axis=1)  # [G]
-            val_ref[0, :, f] = m[:, 0]
-            arg_ref[0, :, f] = jnp.where(a == _BIG, -1, a)
+            hit = (cand == (m + zf_w)) & live
+            # lowest winning slot == first CSR-order winner
+            s_hit = jnp.where(hit, slot, _BIG)  # [G, W]
+            s = jnp.min(s_hit, axis=1, keepdims=True)  # [G, 1]
+            sel = lane == f
+            acc_v = jnp.where(sel, m + zf_f, acc_v)
+            acc_s = jnp.where(sel, s + zi_f, acc_s)
+        val_ref[0] = acc_v
+        arg_ref[0] = acc_s
 
     return kernel
 
@@ -67,19 +98,19 @@ def _masked_argmax_kernel(f_dim: int):
 @functools.partial(jax.jit, static_argnums=(3,), inline=True)
 def _masked_argmax_call(band, gids, win, interpret):
     """band [n_groups, G, W] int8; gids [n_groups, W] int32 (global
-    source ids per slot); win [n_groups, W, F] f32 (candidate rows).
+    source ids per slot, ascending per group); win [n_groups, W, F] f32
+    (candidate rows).
     Returns (val [n_groups, G, F], arg [n_groups, G, F])."""
     n_groups, g_rows, w = band.shape
     f = win.shape[2]
-    return pl.pallas_call(
-        _masked_argmax_kernel(f),
+    win_t = jnp.swapaxes(win, 1, 2)  # [n_groups, F, W]
+    val, slot = pl.pallas_call(
+        _masked_argmax_kernel(f, g_rows, w),
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((1, g_rows, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, f), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, f, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -93,7 +124,13 @@ def _masked_argmax_call(band, gids, win, interpret):
             jax.ShapeDtypeStruct((n_groups, g_rows, f), jnp.int32),
         ],
         interpret=interpret,
-    )(band, gids, win)
+    )(band, win_t)
+    # slot -> global source id (XLA gather over the output-sized table)
+    dead = slot == _BIG
+    safe = jnp.where(dead, 0, slot)
+    base = (jnp.arange(n_groups, dtype=jnp.int32) * w)[:, None, None]
+    arg = jnp.take(gids.reshape(-1), base + safe)
+    return val, jnp.where(dead, -1, arg)
 
 
 def _combine(val_a, arg_a, val_b, arg_b):
@@ -215,14 +252,26 @@ def _masked_argsum_kernel(f_dim: int, g_rows: int):
 
     def kernel(band_ref, garg_ref, gg_ref, out_ref):
         band = band_ref[0]  # [G, W] — transpose-stage band
+        w_dim = band.shape[1]
         live = band != 0
         base = pl.program_id(0) * g_rows
         vids = base + jax.lax.broadcasted_iota(
-            jnp.int32, (g_rows, 1), 0)  # [G, 1] global output row ids
+            jnp.int32, (g_rows, w_dim), 0)  # [G, W] global output row ids
+        lane = jax.lax.broadcasted_iota(jnp.int32, (g_rows, f_dim), 1)
+        # native-layout zeros — see _masked_argmax_kernel layout notes
+        zi_w = jnp.minimum(band.astype(jnp.int32), 0)  # [G, W] native
+        zf_w = zi_w.astype(jnp.float32)
+        sub_f = jax.lax.broadcasted_iota(jnp.int32, (g_rows, f_dim), 0)
+        zf_f = jnp.minimum(lane + sub_f, 0).astype(jnp.float32)
+        acc = jnp.zeros((g_rows, f_dim), jnp.float32) + zf_f
         for f in range(f_dim):
-            hit = live & (garg_ref[0, :, f][None, :] == vids)
-            out_ref[0, :, f] = jnp.sum(
-                jnp.where(hit, gg_ref[0, :, f][None, :], 0.0), axis=1)
+            ga = garg_ref[0, f, :]  # [W] (transposed input, lane vector)
+            gv = gg_ref[0, f, :]  # [W]
+            hit = live & ((ga[None, :] + zi_w) == vids)
+            s = jnp.sum(jnp.where(hit, gv[None, :] + zf_w, 0.0), axis=1,
+                        keepdims=True)  # [G, 1]
+            acc = jnp.where(lane == f, s + zf_f, acc)
+        out_ref[0] = acc
 
     return kernel
 
@@ -231,22 +280,24 @@ def _masked_argsum_kernel(f_dim: int, g_rows: int):
 def _masked_argsum_call(band, garg, gg, interpret):
     n_groups, g_rows, w = band.shape
     f = gg.shape[2]
+    garg_t = jnp.swapaxes(garg, 1, 2)  # [n_groups, F, W]
+    gg_t = jnp.swapaxes(gg, 1, 2)
     return pl.pallas_call(
         _masked_argsum_kernel(f, g_rows),
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec((1, g_rows, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, f), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, f, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, f), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, f, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, g_rows, f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_groups, g_rows, f), jnp.float32),
         interpret=interpret,
-    )(band, garg, gg)
+    )(band, garg_t, gg_t)
 
 
 def _argsum_apply(g, arg, st: AlignedStageDev, interpret=None):

@@ -210,26 +210,27 @@ def _hgnn_aggregate_max(hgd, x, wdiag, plan, b):
     if dev is None:
         return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
     e_stage, v_stage = tree_plan.device()
-    fe_stage = fv_stage = None
-    if b in ("aligned", "multihot", "pallas_sparse"):
-        fast = getattr(plan, b, None)
-        if fast is not None and hasattr(fast, "device"):
-            fe_stage, fv_stage = fast.device()
     aligned_kinds = (AlignedStageDev, AlignedStageBDev)
-    if fe_stage is not None and isinstance(fe_stage, aligned_kinds):
-        xe = aligned_max.v2e_max_aligned(
-            x, fe_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr)
-    elif isinstance(e_stage, aligned_kinds):
-        # raw aligned TreePlan passed directly
-        xe = aligned_max.v2e_max_aligned(
-            x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr)
-    elif isinstance(e_stage, TiledStageDev):
-        # tiled multihot stages carry no argmax — exact oracle path
-        return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
-    else:
+    if not isinstance(e_stage, aligned_kinds + (TiledStageDev,)):
+        # PREFERRED V->E max: the argmax-carrying gather tree.  The
+        # round-3 masked-argmax Pallas kernel (ops/aligned_max) is
+        # exact and lowers on hardware, but a dense band PLANE cannot
+        # ride the MXU for max the way it does for sum — the VPU pays
+        # O(G*W*F) on a ~3%-live plane while the tree touches only
+        # live entries: measured 24.4 ms (pallas) vs 1.67 ms (tree) on
+        # SBM-60k f=32 (scripts/probe_max_aligned_r3.py, v5e) — so the
+        # tree stays the production route whenever a tree stage exists.
         xe = maxops.v2e_max_tree(
             x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr
         )
+    elif isinstance(e_stage, aligned_kinds):
+        # raw aligned TreePlan (no argmax tree available — e.g. halo
+        # aligned interiors): the exact masked-argmax Pallas kernel
+        xe = aligned_max.v2e_max_aligned(
+            x, e_stage, hgd.h_edge, hgd.h_segids, hgd.h_indptr)
+    else:
+        # tiled multihot stages carry no argmax — exact oracle path
+        return refops.hgnn_aggregate_ref(hgd, x, wdiag, "max")
     xe = xe * hgd.degE
     if wdiag is not None:
         xe = xe * wdiag

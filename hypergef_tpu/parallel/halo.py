@@ -245,7 +245,7 @@ class HaloPlan:
 
 
 def plan_halo(hg, n_shards: int, fan: int = 8,
-              local_form: str = "tree") -> HaloPlan:
+              local_form: str = "tree", first_aggr: str = "sum") -> HaloPlan:
     """``local_form="aligned"`` builds the interior V→E stage as banded
     MXU matmuls (uniform :class:`planner.AlignedStage`, stacked across
     shards) instead of gather trees — the sparse fast path for
@@ -256,15 +256,23 @@ def plan_halo(hg, n_shards: int, fan: int = 8,
     record for this graph (sparse/autotune.py — the measured
     partition_dict analogue): a graph whose measured-best single-chip
     backend is ``aligned`` gets the aligned interior; anything else (or
-    no record yet) gets trees.  No fresh measurement happens here."""
+    no record yet) gets trees.  No fresh measurement happens here.
+    Pass the intended ``first_aggr`` so auto can pick the right form:
+    with ``"max"`` the aligned interior runs the masked-argmax Pallas
+    kernel, which is exact but VPU-bound on the ~3%-live band plane and
+    measured ~15× the argmax tree (KERNEL_NOTES round 3) — auto
+    therefore keeps TREE interiors for max."""
     if local_form == "auto":
-        from hypergef_tpu.sparse import autotune as _at
+        if first_aggr == "max":
+            local_form = "tree"
+        else:
+            from hypergef_tpu.sparse import autotune as _at
 
-        rec = _at.load_cached(_at.graph_key(hg, 32))
-        local_form = (
-            "aligned" if rec is not None and rec.get("backend") == "aligned"
-            else "tree"
-        )
+            rec = _at.load_cached(_at.graph_key(hg, 32))
+            local_form = (
+                "aligned" if rec is not None and rec.get("backend") == "aligned"
+                else "tree"
+            )
     D = n_shards
     bounds = edge_partition_bounds(hg, D)
     n_own = _round_up(hg.num_nodes, D) // D

@@ -65,12 +65,12 @@ def main(feat=32, iters=40, rounds=3):
         def f_v2e_aligned(a):
             y = v2e_max_aligned(a, fe, hgd.h_edge, hgd.h_segids,
                                 hgd.h_indptr)
-            return chain_fold(a, y[: a.shape[0]])
+            return chain_fold(y, a)
 
         def f_v2e_tree(a):
             y = maxops.v2e_max_tree(a, te, hgd.h_edge, hgd.h_segids,
                                     hgd.h_indptr)
-            return chain_fold(a, y[: a.shape[0]])
+            return chain_fold(y, a)
 
         # correctness on-chip first
         om = fused.hgnn_aggregate(hgd, x0, None, "max", plan=plan,

@@ -50,6 +50,11 @@ def parse(argv=None):
                         "reference's partition_dict, measured not hard-coded")
     p.add_argument("--backend", type=str, default="auto",
                    help="auto|dense|tree|cumsum|xla|ell|pallas")
+    p.add_argument("--plan-cache", type=str, default=None, nargs="?",
+                   const="",
+                   help="persist built plans to this directory keyed by "
+                        "graph content (no DIR: the default user cache); "
+                        "reruns skip the host schedule build entirely")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--minibatch-edges", type=int, default=0,
@@ -134,6 +139,7 @@ def main(argv=None):
         seed=args.seed,
         backend=args.backend,
         tune=args.tune,
+        plan_cache=args.plan_cache,
     )
     if args.profile:
         # reference --profile fast path (hgsys.py:146-159): time the raw

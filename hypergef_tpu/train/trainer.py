@@ -56,6 +56,12 @@ class TrainConfig:
     # measured on THIS device, not hard-coded).  Cold first run; instant
     # after (cache keyed by graph shape + feature width + device kind).
     tune: bool = False
+    # persistent plan cache directory (sparse/plancache.py): build the
+    # schedule once per graph CONTENT, reuse across processes — the
+    # reference's processed-dataset ``.pt`` cache analogue, at the plan
+    # level where our front-loaded cost actually lives (aligned band
+    # tables: ~13 s at 10M nnz).  None = off; "" = default user dir.
+    plan_cache: Optional[str] = None
 
 
 def make_optimizer(lr: float, wd: float) -> optax.GradientTransformation:
@@ -80,11 +86,17 @@ class Trainer:
             # hidden layers dominate; layer 1 runs once at nfeat)
             self.plan = autotune_plan(hg, feature_size=cfg.nhid)
         elif plan is None and cfg.backend not in ("xla", "cumsum"):
-            from hypergef_tpu.sparse.planner import plan_aggregation
+            with_tile = cfg.backend in ("ell", "pallas")
+            if cfg.plan_cache is not None:
+                from hypergef_tpu.sparse.plancache import cached_plan_aggregation
 
-            self.plan = plan_aggregation(
-                hg, with_tile=cfg.backend in ("ell", "pallas")
-            )
+                self.plan = cached_plan_aggregation(
+                    hg, cache_dir=cfg.plan_cache or None, with_tile=with_tile
+                )
+            else:
+                from hypergef_tpu.sparse.planner import plan_aggregation
+
+                self.plan = plan_aggregation(hg, with_tile=with_tile)
         self.hgd = hg.device_data()
         self.x = jnp.asarray(x, dtype=jnp.float32)
         self.y = jnp.asarray(y, dtype=jnp.int32)

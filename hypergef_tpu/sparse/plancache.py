@@ -212,3 +212,25 @@ def cached_plan_aggregation(hg, cache_dir: Optional[str] = None, **kwargs):
     plan = plan_aggregation(hg, **kwargs)
     save_plan(plan, path)
     return plan
+
+
+def cached_plan_halo(hg, n_shards: int, cache_dir: Optional[str] = None,
+                     **kwargs):
+    """:func:`hypergef_tpu.parallel.halo.plan_halo` behind the same
+    content-keyed cache — the distributed plan build (per-shard interior
+    trees / aligned tables + exchange maps) is the multi-chip analogue of
+    the single-chip schedule cost and amortizes identically."""
+    from hypergef_tpu.parallel.halo import plan_halo
+
+    d = cache_dir or _default_cache_dir()
+    path = os.path.join(
+        d, f"halo_{plan_key(hg, n_shards=n_shards, **kwargs)}.npz"
+    )
+    if os.path.exists(path):
+        try:
+            return load_plan(path)
+        except Exception:
+            pass
+    plan = plan_halo(hg, n_shards, **kwargs)
+    save_plan(plan, path)
+    return plan

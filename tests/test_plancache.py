@@ -123,6 +123,35 @@ def test_refuses_foreign_classes(tmp_path):
         plancache._resolve_class("os.path:join")
 
 
+def test_halo_plan_round_trip(tmp_path):
+    """HaloPlan (distributed) round-trips bit-exact and the sharded
+    program on a reloaded plan matches the original's output."""
+    import jax
+
+    from hypergef_tpu.parallel.halo import plan_halo
+    from hypergef_tpu.parallel.halo_aggr import (
+        halo_hgnn_aggregate, shard_vertex_features, unshard_vertex_features,
+    )
+    from hypergef_tpu.parallel.mesh import make_mesh
+
+    hg = random_hypergraph(200, 140, avg_edge_size=5.0, seed=13)
+    plan = plan_halo(hg, 4)
+    d = str(tmp_path / "plans")
+    plan2 = plancache.cached_plan_halo(hg, 4, cache_dir=d)
+    _assert_same(plan, plan2)
+    plan3 = plancache.cached_plan_halo(hg, 4, cache_dir=d)  # disk hit
+    _assert_same(plan, plan3)
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    x = np.random.default_rng(0).normal(size=(hg.num_nodes, 8)).astype(np.float32)
+    outs = []
+    for p in (plan, plan3):
+        x_own = jnp.asarray(shard_vertex_features(p, x))
+        out_own = halo_hgnn_aggregate(p, mesh, x_own, None, "sum")
+        outs.append(np.asarray(unshard_vertex_features(p, out_own)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_trainer_plan_cache_wiring(tmp_path):
     from hypergef_tpu.train import TrainConfig, rand_train_test_idx
     from hypergef_tpu.train.trainer import Trainer

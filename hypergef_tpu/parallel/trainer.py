@@ -159,3 +159,33 @@ class DistTrainer:
             for name, idx in split_idx.items()
             if np.asarray(idx).size
         }
+
+    # ------------------------------------------------------------------
+    def save(self, directory: str, step: int = 0, wait: bool = True) -> None:
+        """Checkpoint the distributed training state (orbax handles the
+        sharded arrays: each process writes its addressable shards and a
+        restore re-shards onto the live mesh).  Resume across restarts is
+        a subsystem the reference lacks entirely (SURVEY §5)."""
+        from hypergef_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(directory, step, self.params, self.opt_state, wait=wait)
+
+    def restore(self, directory: str, step: Optional[int] = None) -> int:
+        """Restore (params, opt_state) in place from the latest (or given)
+        step; the current state pytrees serve as sharding templates so
+        restored arrays land with the trainer's mesh placement."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hypergef_tpu.train.checkpoint import restore_checkpoint
+
+        step, params, opt_state = restore_checkpoint(
+            directory, self.params, self.opt_state, step=step
+        )
+        # orbax commits restored leaves to a single device; the step
+        # program consumes params/opt_state replicated across the mesh —
+        # re-place them so shard_map sees mesh-consistent inputs.
+        rep = NamedSharding(self.mesh, P())
+        put = lambda v: jax.device_put(v, rep)  # noqa: E731
+        self.params = jax.tree_util.tree_map(put, params)
+        self.opt_state = jax.tree_util.tree_map(put, opt_state)
+        return step

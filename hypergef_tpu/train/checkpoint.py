@@ -69,4 +69,19 @@ def restore_checkpoint(
         ),
     )
     mgr.close()
-    return step, restored["params"], restored["opt_state"]
+
+    # Orbax may materialize restored leaves on the default device; put
+    # each leaf back onto its template's sharding so distributed trainers
+    # (mesh-sharded params/opt_state) resume with their mesh placement.
+    def _resharded(template, value):
+        def put(t, v):
+            sharding = getattr(t, "sharding", None)
+            return jax.device_put(v, sharding) if sharding is not None else v
+
+        return jax.tree_util.tree_map(put, template, value)
+
+    return (
+        step,
+        _resharded(params_template, restored["params"]),
+        _resharded(opt_state_template, restored["opt_state"]),
+    )

@@ -57,6 +57,12 @@ def parse(argv=None):
                         "reruns skip the host schedule build entirely")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--export", type=str, default=None, metavar="PATH",
+                   help="after training, AOT-export the forward pass as a "
+                        "self-contained serving artifact (hypergef_tpu.serve)")
+    p.add_argument("--export-platforms", type=str, default=None,
+                   help="comma-separated lowering platforms for --export "
+                        "(e.g. tpu,cpu); default: the training platform")
     p.add_argument("--minibatch-edges", type=int, default=0,
                    help=">0: train with hyperedge-sampled minibatches")
     p.add_argument("--shards", type=int, default=0,
@@ -193,6 +199,18 @@ def main(argv=None):
         res.update(tr.evaluate(split))
         train_time = res["train_epoch_time_s"]
         infer_time = res["inference_time_s"]
+    if args.export and isinstance(tr, Trainer):
+        from hypergef_tpu import serve
+
+        plats = args.export_platforms.split(",") if args.export_platforms else None
+        meta = serve.export_trainer(tr, args.export, platforms=plats)
+        print(f"exported serving artifact: {args.export} "
+              f"({meta['payload_bytes']} bytes, platforms={meta['platforms']})")
+        res["export_path"] = args.export
+    elif args.export:
+        print("--export requires the full-batch trainer path "
+              "(exported programs are full-graph forwards); skipped",
+              file=sys.stderr)
     backend = cfg.backend
     print(f"backend {backend}: avg epoch time {train_time:.6f}")
     for k in ("train_acc", "valid_acc", "test_acc", "final_loss"):

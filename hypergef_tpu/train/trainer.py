@@ -261,6 +261,21 @@ class Trainer:
                 out[f"{name}_acc"] = accuracy(z[idx], y[idx])
         return out
 
+    def save(self, directory: str, step: int = 0, wait: bool = True) -> None:
+        """Checkpoint (params, opt_state) via orbax (train.checkpoint)."""
+        from hypergef_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(directory, step, self.params, self.opt_state, wait=wait)
+
+    def restore(self, directory: str, step: Optional[int] = None) -> int:
+        """Restore training state in place; returns the restored step."""
+        from hypergef_tpu.train.checkpoint import restore_checkpoint
+
+        step, self.params, self.opt_state = restore_checkpoint(
+            directory, self.params, self.opt_state, step=step
+        )
+        return step
+
     def time_inference(self, iters: int = 200, warmup: int = 10) -> float:
         from hypergef_tpu.utils.timing import sync
 

@@ -143,3 +143,42 @@ def test_cost_analysis_traffic_report(small_hg):
     )
     assert "xla" in rep and "cumsum" in rep
     assert rep["xla"].get("bytes_accessed", 0) >= 0
+
+
+def test_cli_export_serving_artifact(tmp_path):
+    """--export on the full-batch path writes a loadable serving artifact
+    (the reference has no serving/persistence subsystem — SURVEY §5)."""
+    from hypergef_tpu import serve
+    from hypergef_tpu.train import cli
+
+    art = str(tmp_path / "m.hgefsrv")
+    res = cli.main([
+        "--synthetic", "homophilic", "--n", "150", "--e", "90",
+        "--classes", "3", "--feat", "8", "--nhid", "8", "--epochs", "5",
+        "--dropout", "0.1", "--input-drop", "0.1", "--export", art,
+    ])
+    assert res["export_path"] == art
+    m = serve.ServingModel.load(art)
+    assert m.meta["model"] == "HGNN"
+    out = m.predict(np.zeros(tuple(m.meta["input_shape"]), np.float32))
+    assert out.shape == tuple(m.meta["output_shape"])
+
+
+def test_trainer_save_restore_methods(tmp_path):
+    from hypergef_tpu.data.synthetic import homophilic_hypergraph, random_features
+    from hypergef_tpu.train import TrainConfig, Trainer, rand_train_test_idx
+
+    hg, y = homophilic_hypergraph(120, 70, 3, avg_edge_size=4.0, seed=21)
+    x, _ = random_features(hg.num_nodes, 8, 3, seed=22)
+    split = rand_train_test_idx(y, seed=23)
+    tr = Trainer(TrainConfig(model="HGNN", nhid=8, epochs=3, warmup=0), hg, x, y)
+    tr.fit(split["train"], epochs=3, warmup=0)
+    tr.save(str(tmp_path / "ck"), step=3)
+    tr2 = Trainer(TrainConfig(model="HGNN", nhid=8, epochs=3, warmup=0, seed=9), hg, x, y)
+    assert tr2.restore(str(tmp_path / "ck")) == 3
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(tr.params), jax.tree_util.tree_leaves(tr2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -97,8 +97,19 @@ def read_artifact(path: str):
             raise ValueError(
                 f"{path}: not a hypergef serving artifact (bad magic {magic!r})"
             )
-        (hlen,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(hlen).decode("utf-8"))
+        raw_len = f.read(4)
+        if len(raw_len) != 4:
+            raise ValueError(f"{path}: truncated artifact (missing header length)")
+        (hlen,) = struct.unpack("<I", raw_len)
+        raw_hdr = f.read(hlen)
+        if len(raw_hdr) != hlen:
+            raise ValueError(
+                f"{path}: truncated artifact (header {len(raw_hdr)}/{hlen} bytes)"
+            )
+        try:
+            meta = json.loads(raw_hdr.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(f"{path}: corrupt artifact header ({e})") from e
         payload = f.read()
     return meta, payload
 
@@ -111,7 +122,10 @@ def export_trainer(
     """Export a trained :class:`~hypergef_tpu.train.Trainer`'s forward.
 
     Writes the artifact to ``path`` (if given) and returns the metadata
-    dict.  The exported program computes full-graph log-probabilities for
+    dict — always the dict, never the payload; callers that want raw
+    payload bytes without a file use :func:`export_forward` directly
+    (``path=None`` is a dry-run that still exercises the full lowering).
+    The exported program computes full-graph log-probabilities for
     the graph the trainer was built on — the deployment unit of the
     reference's workload class (transductive node classification, one
     fixed hypergraph per model)."""
@@ -146,7 +160,7 @@ def export_trainer(
     }
     if path is not None:
         save_artifact(path, payload, meta)
-    return meta if path is not None else (meta, payload)
+    return meta
 
 
 @dataclasses.dataclass
@@ -166,6 +180,12 @@ class ServingModel:
         from jax import export as jax_export
 
         meta, payload = read_artifact(path)
+        ver = meta.get("format_version", 0)
+        if ver > _FORMAT_VERSION:
+            raise ValueError(
+                f"{path}: artifact format_version {ver} is newer than this "
+                f"library supports ({_FORMAT_VERSION}); upgrade hypergef_tpu"
+            )
         exported = jax_export.deserialize(payload)
         return cls(meta=meta, _call=jax.jit(exported.call))
 

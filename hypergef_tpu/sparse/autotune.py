@@ -206,6 +206,23 @@ def sweep(
                 operands = (hgd,)
 
             t = device_time_per_iter(step, x, iters=iters, operands=operands)
+            # Small-graph guard (VERDICT r3 #7): at the ~10 µs scale the
+            # differenced window is the size of dispatch jitter and one
+            # noisy sweep can invert the ranking (cora picked dense over
+            # precomp, auto_matrix_r3). Widen iters until the chained
+            # window sits ≥2× above dispatch; this only fires for fast
+            # kernels, so the widened program stays far under the ~60 s
+            # single-dispatch ceiling.
+            cur = iters
+            while (
+                cur < 4000
+                and (t["noisy"] or t["per_iter_s"] * cur < 2.0 * t["dispatch_s"])
+            ):
+                cur *= 5
+                if verbose:
+                    print(f"  tune {backend} {params}: window below 2x "
+                          f"dispatch — widening to {cur} iters", flush=True)
+                t = device_time_per_iter(step, x, iters=cur, operands=operands)
             results.append(TuneResult(backend, params, t["per_iter_s"]))
             if verbose:
                 print(

@@ -1287,6 +1287,79 @@ class AlignedStageB(NamedTuple):
         )
 
 
+# Measured v5e constants for the aligned floor model (docs/KERNEL_NOTES.md):
+# * A_ELEM_RATE: MXU A-operand element rate when the other operand is
+#   ≤128 lanes — 4 MXUs x 128 elem/cycle x 1.5 GHz, proven by the
+#   round-3 bitstream isolation (F=32/128 cost identical).
+# * STREAM_BPS: measured int8 HBM stream rate through a dot operand
+#   (probe_dense_int8: pubmed_real box at ~730 GB/s).
+# * GATHER_S_PER_ROW: measured unique-spill-row gather cost (~8 ns/row,
+#   probe_spill_pad / probe_aligned_breakdown — padded slots are free,
+#   unique rows bind).
+ALIGNED_A_ELEM_RATE = 768e9
+ALIGNED_STREAM_BPS = 732e9
+ALIGNED_GATHER_S_PER_ROW = 8e-9
+
+
+def aligned_stage_floor(stage, feat: int, feat_bytes: int = 4) -> dict:
+    """Hardware-floor model for one aligned stage (VERDICT r3 #4).
+
+    Lower bound from measured machine rates: the band/spill tables must
+    stream through the MXU A-operand port (element bound) and HBM (byte
+    bound) — take the max of those two — and each unique spilled source
+    row pays the measured gather-engine latency (additive: the spill
+    gather is a separate latency-bound op the scheduler cannot hide
+    behind the band matmuls at these sizes, probe_aligned_breakdown).
+    Returns per-component seconds plus the total ``floor_s``.
+    """
+    if isinstance(stage, AlignedStageB):
+        band_elems = sum(int(b.b_dense.size) for b in stage.buckets)
+        spill_tab_elems = sum(int(s.b_spill.size) for s in stage.spills)
+        win_rows = sum(
+            int(b.win_block.shape[0] * b.win_block.shape[1]) for b in stage.buckets
+        ) * int(stage.block_rows)
+        spill_rows = sum(
+            int((s.spill_src != stage.num_inputs).sum()) for s in stage.spills
+        )
+    elif isinstance(stage, AlignedStage):
+        band_elems = int(stage.b_dense.size)
+        spill_tab_elems = int(stage.b_spill.size)
+        win_rows = int(stage.win_block.size) * ALIGNED_BLOCK
+        spill_rows = int((stage.spill_src != stage.num_inputs).sum())
+    else:
+        raise TypeError(f"not an aligned stage: {type(stage).__name__}")
+    feat_b = feat * feat_bytes
+    tab_elems = band_elems + spill_tab_elems
+    # HBM bytes: int8 tables + window source rows + spilled rows + output
+    hbm_bytes = tab_elems + (win_rows + spill_rows) * feat_b \
+        + stage.num_segments * feat_b
+    t_elems = tab_elems / ALIGNED_A_ELEM_RATE
+    t_bytes = hbm_bytes / ALIGNED_STREAM_BPS
+    t_gather = spill_rows * ALIGNED_GATHER_S_PER_ROW
+    return {
+        "band_elems": band_elems,
+        "spill_tab_elems": spill_tab_elems,
+        "window_rows": win_rows,
+        "unique_spill_rows": spill_rows,
+        "t_mxu_elems_s": t_elems,
+        "t_hbm_bytes_s": t_bytes,
+        "t_spill_gather_s": t_gather,
+        "floor_s": max(t_elems, t_bytes) + t_gather,
+    }
+
+
+def aligned_plan_floor(plan, feat: int, feat_bytes: int = 4) -> dict:
+    """Whole-layer floor: both aligned stages (V→E + E→V) summed, with
+    the per-stage component breakdown attached."""
+    e = aligned_stage_floor(plan.edge_stage, feat, feat_bytes)
+    v = aligned_stage_floor(plan.vertex_stage, feat, feat_bytes)
+    return {
+        "floor_s": e["floor_s"] + v["floor_s"],
+        "edge_stage": e,
+        "vertex_stage": v,
+    }
+
+
 def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
                        feat_bytes=64,
                        widths=(1, 2, 3, 4, 6, 8, 12, 16, 24, 32),

@@ -124,6 +124,14 @@ def main(argv=None):
     from hypergef_tpu.train import TrainConfig, rand_train_test_idx
     from hypergef_tpu.train.trainer import Trainer
 
+    if args.export and (args.profile or args.shards > 0):
+        # --profile and --shards return before the export block below;
+        # surface the skip up front rather than silently dropping the
+        # artifact (ADVICE r3)
+        print("--export requires the full-batch trainer path "
+              "(exported programs are full-graph forwards); skipped",
+              file=sys.stderr)
+        args.export = None
     hg, x, y = load_problem(args)
     print(hg)
     np.random.seed(args.seed)
@@ -202,7 +210,10 @@ def main(argv=None):
     if args.export and isinstance(tr, Trainer):
         from hypergef_tpu import serve
 
-        plats = args.export_platforms.split(",") if args.export_platforms else None
+        plats = (
+            [s.strip() for s in args.export_platforms.split(",") if s.strip()]
+            if args.export_platforms else None
+        )
         meta = serve.export_trainer(tr, args.export, platforms=plats)
         print(f"exported serving artifact: {args.export} "
               f"({meta['payload_bytes']} bytes, platforms={meta['platforms']})")

@@ -201,6 +201,30 @@ class Trainer:
         train steps (fwd+bwd+Adam) inside one jitted fori_loop, so host
         dispatch latency is excluded — the measurement protocol for
         kernel-honest comparisons (see docs/KERNEL_NOTES.md)."""
+        return self._epoch_windows(train_idx, iters, windows=1, repeats=5)[0]
+
+    def epoch_device_time_stats(
+        self, train_idx, iters: int = 50, windows: int = 5, repeats: int = 3
+    ) -> Dict[str, float]:
+        """Per-epoch device time over ``windows`` independent differenced
+        windows: median + spread.  The single-window protocol's noise
+        floor is the size of the ~100 µs numbers it measures (VERDICT r3
+        "weak" #3) — publishing median and [min, max] over ≥5 windows
+        makes the spread part of the artifact instead of a
+        session-to-session surprise."""
+        samples = self._epoch_windows(train_idx, iters, windows, repeats)
+        arr = sorted(samples)
+        n = len(arr)
+        med = arr[n // 2] if n % 2 else 0.5 * (arr[n // 2 - 1] + arr[n // 2])
+        return {
+            "median_s": med,
+            "min_s": arr[0],
+            "max_s": arr[-1],
+            "windows": n,
+            "samples_s": samples,
+        }
+
+    def _epoch_windows(self, train_idx, iters, windows, repeats):
         import time
 
         cfg = self.cfg
@@ -237,9 +261,7 @@ class Trainer:
         sync(f(self.params, self.opt_state, self.x, self.y, 1))
         sync(f(self.params, self.opt_state, self.x, self.y, iters + 1))
 
-        # min over repeats: tunnel dispatch jitter (0.5–24 ms) would
-        # otherwise swamp the differenced window on single samples
-        def timed(n, repeats=5):
+        def timed(n):
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
@@ -247,9 +269,12 @@ class Trainer:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        t_short = timed(1)
-        t_long = timed(iters + 1)
-        return max(t_long - t_short, 0.0) / iters
+        samples = []
+        for _ in range(max(windows, 1)):
+            t_short = timed(1)
+            t_long = timed(iters + 1)
+            samples.append(max(t_long - t_short, 0.0) / iters)
+        return samples
 
     def evaluate(self, split_idx) -> Dict[str, float]:
         z = np.asarray(self._forward(self.params, self.x))

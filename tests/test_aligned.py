@@ -230,3 +230,37 @@ def test_aligned_max_full_plan_fast_e2v(sorted_hg):
     g_got = np.asarray(jax.grad(loss("aligned", plan))(x))
     g_want = np.asarray(jax.grad(loss("xla", None))(x))
     np.testing.assert_allclose(g_got, g_want, rtol=5e-2, atol=5e-2)
+
+
+def test_aligned_floor_model(sorted_hg):
+    """The floor model (VERDICT r4 clustered accounting) must be a
+    positive, component-consistent lower bound built from the plan's
+    actual table sizes."""
+    al = planner.plan_aligned(sorted_hg)
+    fl = planner.aligned_plan_floor(al, feat=32)
+    assert fl["floor_s"] > 0
+    for st_name, stage in (("edge_stage", al.edge_stage),
+                           ("vertex_stage", al.vertex_stage)):
+        st = fl[st_name]
+        # component identity: floor = max(elem bound, byte bound) + gather
+        assert st["floor_s"] == pytest.approx(
+            max(st["t_mxu_elems_s"], st["t_hbm_bytes_s"])
+            + st["t_spill_gather_s"]
+        )
+        # table elems must match the stage's real arrays
+        if isinstance(stage, planner.AlignedStageB):
+            want = sum(int(b.b_dense.size) for b in stage.buckets)
+        else:
+            want = int(stage.b_dense.size)
+        assert st["band_elems"] == want
+        assert st["unique_spill_rows"] >= 0
+    # wider features -> strictly more streamed bytes, monotone floor
+    fl128 = planner.aligned_plan_floor(al, feat=128)
+    assert fl128["floor_s"] >= fl["floor_s"]
+
+
+def test_aligned_floor_uniform_form(sorted_hg):
+    al = planner.plan_aligned(sorted_hg, form="uniform")
+    fl = planner.aligned_plan_floor(al, feat=32)
+    assert fl["floor_s"] > 0
+    assert fl["edge_stage"]["band_elems"] == int(al.edge_stage.b_dense.size)

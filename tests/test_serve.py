@@ -65,6 +65,39 @@ def test_bad_magic_rejected(tmp_path):
         serve.read_artifact(str(p))
 
 
+def test_truncated_artifact_rejected(trained, tmp_path):
+    tr, x = trained
+    path = str(tmp_path / "m.hgefsrv")
+    serve.export_trainer(tr, path)
+    data = open(path, "rb").read()
+    for cut in (len(serve._MAGIC) + 2, len(serve._MAGIC) + 4 + 5):
+        p = tmp_path / "trunc.bin"
+        p.write_bytes(data[:cut])
+        with pytest.raises(ValueError, match="truncated"):
+            serve.read_artifact(str(p))
+
+
+def test_future_format_version_rejected(trained, tmp_path):
+    tr, x = trained
+    path = str(tmp_path / "m.hgefsrv")
+    serve.export_trainer(tr, path)
+    meta, payload = serve.read_artifact(path)
+    meta["format_version"] = serve._FORMAT_VERSION + 1
+    p = str(tmp_path / "future.hgefsrv")
+    # save_artifact re-stamps format_version; write the header by hand
+    import json as _json
+    import struct as _struct
+
+    hdr = _json.dumps(meta).encode()
+    with open(p, "wb") as f:
+        f.write(serve._MAGIC)
+        f.write(_struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        f.write(payload)
+    with pytest.raises(ValueError, match="format_version"):
+        serve.ServingModel.load(p)
+
+
 def test_shape_mismatch_rejected(trained, tmp_path):
     tr, x = trained
     path = str(tmp_path / "m.hgefsrv")
@@ -104,6 +137,11 @@ _FRESH_PROCESS_PROG = """
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, {repo!r})
+# the env var alone is not enough where a sitecustomize pins the TPU
+# plugin at interpreter start (see tests/conftest.py) — re-assert via
+# config so the fresh process really runs the cpu-exported artifact
+import jax
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from hypergef_tpu import serve
 m = serve.ServingModel.load({path!r})

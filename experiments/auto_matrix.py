@@ -63,7 +63,7 @@ def applicable_backends(plan):
 
 def main():
     out_path = os.path.join(os.path.dirname(__file__), "results",
-                            "auto_matrix_r3.csv")
+                            "auto_matrix_r4.csv")
     rows = ["workload,nnz,auto_pick,auto_us,best_fixed,best_fixed_us,"
             "auto_over_best,tuned_pick,tuned_matches_best"]
     for name, hg in workloads():
@@ -93,7 +93,9 @@ def main():
         # agree with the interleaved ground truth above
         from hypergef_tpu.sparse.autotune import autotune
 
-        tuned = autotune(hg, F)
+        # cache=False: round-4 re-validates the tuner's min-window guard
+        # (VERDICT r3 #7) — a cached round-3 pick would mask it
+        tuned = autotune(hg, F, cache=False)
         near_best = [b for b, t in times.items()
                      if t <= times[best] * 1.15]  # within chip jitter
         row = (f"{name},{hg.nnz},{auto_pick},{auto_us:.1f},{best},"

@@ -63,6 +63,14 @@ def parse(argv=None):
     p.add_argument("--export-platforms", type=str, default=None,
                    help="comma-separated lowering platforms for --export "
                         "(e.g. tpu,cpu); default: the training platform")
+    p.add_argument("--validate-parity", action="store_true",
+                   help="real-data readiness check: load --dname from "
+                        "--data-path, verify format/shape/oracle/accuracy "
+                        "against the published AllSet record "
+                        "(hypergef_tpu.data.parity), exit nonzero on FAIL")
+    p.add_argument("--parity-record", type=str, default=None, metavar="JSON",
+                   help="with --validate-parity: write raw-file sha256 "
+                        "fingerprints + loaded stats to this JSON")
     p.add_argument("--minibatch-edges", type=int, default=0,
                    help=">0: train with hyperedge-sampled minibatches")
     p.add_argument("--shards", type=int, default=0,
@@ -124,6 +132,23 @@ def main(argv=None):
     from hypergef_tpu.train import TrainConfig, rand_train_test_idx
     from hypergef_tpu.train.trainer import Trainer
 
+    if args.validate_parity:
+        from hypergef_tpu.data.parity import validate
+
+        results = validate(
+            args.dname, root=args.data_path,
+            feature_noise=float(args.feature_noise),
+            seed=args.seed, record=args.parity_record,
+        )
+        for r in results:
+            print(r.line())
+        failed = [r for r in results if r.status == "FAIL"]
+        verdict = "FAIL" if failed else "PASS"
+        print(f"parity[{args.dname}]: {verdict} "
+              f"({sum(r.status == 'PASS' for r in results)} pass, "
+              f"{len(failed)} fail, "
+              f"{sum(r.status == 'SKIP' for r in results)} skip)")
+        sys.exit(1 if failed else 0)
     if args.export and (args.profile or args.shards > 0):
         # --profile and --shards return before the export block below;
         # surface the skip up front rather than silently dropping the

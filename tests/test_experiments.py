@@ -66,3 +66,36 @@ def test_bench_kernel_smoke(tmp_path):
                        timeout=360, cwd=ROOT)
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"vs_baseline"' in r.stdout
+
+
+def test_fig7_9_realistic_smoke(tmp_path):
+    """Round-4 realistic fig7/9 driver: production pipeline from raw
+    (shuffle -> coarsen reorder -> ladder) on a small real-dims name."""
+    r = run("fig7_9_realistic.py", "--configs", "zoo", "--iters", "3",
+            "--out", str(tmp_path / "f.csv"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    body = open(tmp_path / "f.csv").read()
+    assert "SUMMARY,zoo" in body and "xla" in body
+    assert "reorder=" in body and "plan=" in body
+
+
+def test_minibatch_bench_smoke(tmp_path):
+    """Config-#4 perf driver: full-batch vs minibatch time-to-band rows
+    with the compile-count column."""
+    import experiments.minibatch_bench as mb
+
+    mb.WORKLOADS["tiny"] = (600, 300, 3, 5.0, 8)
+    try:
+        sys.argv = ["minibatch_bench.py", "--workloads", "tiny",
+                    "--epochs", "20", "--batch-edges", "64",
+                    "--eval-every", "10",
+                    "--out", str(tmp_path / "mb.csv")]
+        mb.main()
+    finally:
+        del mb.WORKLOADS["tiny"]
+    body = open(tmp_path / "mb.csv").read()
+    assert "tiny,full_batch," in body
+    assert "tiny,minibatch_be64," in body
+    # compile-count column present and small for the minibatch row
+    mb_row = [l for l in body.splitlines() if "minibatch_be64" in l][0]
+    assert int(mb_row.split(",")[-1]) <= 3

@@ -99,3 +99,14 @@ def test_minibatch_bench_smoke(tmp_path):
     # compile-count column present and small for the minibatch row
     mb_row = [l for l in body.splitlines() if "minibatch_be64" in l][0]
     assert int(mb_row.split(",")[-1]) <= 3
+
+
+def test_scale_serialized_smoke(tmp_path):
+    """Serialized halo measurement driver (100M artifact) at toy scale."""
+    r = run("scale_serialized.py", "--nodes", "4000", "--edges", "2000",
+            "--comm", "10", "--shards", "2", "--iters", "2",
+            "--out", str(tmp_path / "s.csv"), timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    body = open(tmp_path / "s.csv").read()
+    assert "MEASURED(serialized)" in body
+    assert "halo_buffer" in body and "ici_transfer" in body

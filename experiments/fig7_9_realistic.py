@@ -110,14 +110,18 @@ def clustered_at_dims(name, n, e, avg, noise=0.02, seed=0):
 
 def measure(step, x0, iters, operands=()):
     """Honest fenced per-iter time with the min-window widening rule
-    (same guard as sparse/autotune.sweep)."""
+    (same guard as sparse/autotune.sweep).  dynamic_iters: one compile
+    per (dataset, backend) — per-trip-count compiles are minutes each
+    on the tunneled chip and would dominate a 13-dataset sweep."""
     from hypergef_tpu.utils.timing import device_time_per_iter
 
-    t = device_time_per_iter(step, x0, iters=iters, operands=operands)
+    t = device_time_per_iter(step, x0, iters=iters, operands=operands,
+                             dynamic_iters=True)
     cur = iters
     while cur < 4000 and (t["noisy"] or t["per_iter_s"] * cur < 2.0 * t["dispatch_s"]):
         cur *= 5
-        t = device_time_per_iter(step, x0, iters=cur, operands=operands)
+        t = device_time_per_iter(step, x0, iters=cur, operands=operands,
+                                 dynamic_iters=True)
     return t["per_iter_s"]
 
 

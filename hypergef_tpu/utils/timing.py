@@ -79,6 +79,7 @@ def device_time_per_iter(
     iters: int = 50,
     repeats: int = 5,
     operands: tuple = (),
+    dynamic_iters: bool = False,
 ) -> dict:
     """Measure per-iteration device time of ``step`` (shape-preserving
     in its first argument).
@@ -91,12 +92,25 @@ def device_time_per_iter(
     for large constant arrays (plans, dense H) on the tunneled TPU,
     whose remote-compile service rejects programs with >~200 MB of
     embedded closure constants (HTTP 413).
+
+    ``dynamic_iters``: pass the trip count as a device scalar so every
+    window length shares ONE compiled program (fori_loop lowers to
+    while_loop).  Use for wide sweeps where per-trip-count compiles
+    (minutes each on the tunneled chip) dominate; the static default is
+    kept for the headline bench so round-over-round numbers stay
+    protocol-identical.
     """
 
     def loop(x0, n, *ops):
         return jax.lax.fori_loop(0, n, lambda i, a: step(a, *ops), x0)
 
-    f = jax.jit(loop, static_argnums=1)
+    if dynamic_iters:
+        jf = jax.jit(loop)
+
+        def f(x0, n, *ops):
+            return jf(x0, jnp.int32(n), *ops)
+    else:
+        f = jax.jit(loop, static_argnums=1)
     t0 = time.perf_counter()
     sync(f(x, 1, *operands))
     compile_short = time.perf_counter() - t0

@@ -78,9 +78,17 @@ def main():
                                          backend=b)
                 return chain_fold(y, a)
             try:
+                # same min-window rule as sparse/autotune.sweep: widen
+                # until the chained window sits ≥2× above dispatch — at
+                # the ~10 µs scale a 100-iter window is still inside
+                # dispatch jitter and inverts rankings (round-4 finding)
                 r = device_time_per_iter(step, x0, iters=20)
-                if r.get("noisy"):
-                    r = device_time_per_iter(step, x0, iters=100)
+                cur = 20
+                while cur < 4000 and (
+                    r["noisy"] or r["per_iter_s"] * cur < 2.0 * r["dispatch_s"]
+                ):
+                    cur *= 5
+                    r = device_time_per_iter(step, x0, iters=cur)
                 times[backend] = r["per_iter_s"] * 1e6
             except Exception as ex:
                 print(f"{name}/{backend}: FAILED {type(ex).__name__}",

@@ -183,7 +183,10 @@ def main():
                         )
                         return chain_fold(y, a)
 
-                    operands = (hgd, plan.as_device())
+                    # raw per-backend TreePlan as a device operand (the
+                    # fused dispatch accepts it directly)
+                    sub = getattr(plan, backend, None) or plan.tree
+                    operands = (hgd, sub.as_device())
                 else:
                     def step(a, hgd_, _b=backend, _p=plan):
                         y = fused.hgnn_aggregate(

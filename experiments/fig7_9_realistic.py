@@ -118,7 +118,13 @@ def measure(step, x0, iters, operands=()):
     t = device_time_per_iter(step, x0, iters=iters, operands=operands,
                              dynamic_iters=True)
     cur = iters
-    while cur < 4000 and (t["noisy"] or t["per_iter_s"] * cur < 2.0 * t["dispatch_s"]):
+    # dynamic mode compiles once, so iterations are cheap: the cap must
+    # be high enough that even a ~1 µs kernel can chain past 2× dispatch
+    # (4000 was not — zoo measured an impossible 0.36 µs < the 4.4 µs
+    # per-program fixed cost)
+    while cur < 500_000 and (
+        t["noisy"] or t["per_iter_s"] * cur < 2.0 * t["dispatch_s"]
+    ):
         cur *= 5
         t = device_time_per_iter(step, x0, iters=cur, operands=operands,
                                  dynamic_iters=True)

@@ -595,7 +595,18 @@ PRECOMP_MAX_ENTRIES = 80_000_000
 
 @dataclasses.dataclass
 class DensePrecomp:
-    """Precomputed A = diag(degV)·H·diag(degE)·Hᵀ in bf16 (sum aggr)."""
+    """Precomputed A = diag(degV)·H·diag(degE)·Hᵀ in bf16 (sum aggr).
+
+    bf16 is deliberate (round-4 floor isolation,
+    scripts/probe_small_floor{,2}.py + KERNEL_NOTES round 4): the table
+    re-streams from HBM at the byte bound (cora 2708²: 17.6 µs marginal
+    ≈ 14.7 MB / 732 GB/s), so halving bytes via per-row int8
+    quantization was tried — and REJECTED: the rank-1-rescaled int8
+    error measures 1.25e-2 of the output scale at cora size (bf16:
+    2.3e-3), over the reference's 1e-2 tier-2 tolerance
+    (check.cuh:47).  The ~22 µs cora floor stands on correctness
+    grounds, not implementation ones.
+    """
 
     a: "object"  # jnp [N, N] bf16
     num_nodes: int
@@ -681,7 +692,22 @@ def plan_aggregation(
             aligned = plan_aligned(hg)
             preferred = "aligned"
         except (ValueError, MemoryError):
-            aligned = None  # not community-sorted: spill too high
+            aligned = None  # not community-sorted at wb=8
+        if aligned is None:
+            # E≫V (or V≫E) graphs: a community spans many 128-row blocks
+            # of the larger side, so the default 8-block window spills
+            # even on perfectly sorted inputs (yelp: E/V≈13 → E→V spill
+            # 0.59 at wb=8 but 0.09 at wb=32, round-4 finding).  The
+            # bucketed optimizer prices per-group widths, so a wider cap
+            # only costs where it pays.
+            ratio = max(hg.num_edges, hg.num_nodes) / max(
+                1, min(hg.num_edges, hg.num_nodes))
+            if ratio >= 4:
+                try:
+                    aligned = plan_aligned(hg, window_blocks=32)
+                    preferred = "aligned"
+                except (ValueError, MemoryError):
+                    aligned = None
     if (
         dense is None
         and dense_threshold > 0
@@ -1157,9 +1183,12 @@ def plan_aligned(
 
     def feasibility(indptr, indices, n_in):
         # conservative pre-check with the median-window heuristic: the
-        # bucketed per-group optimal windows only ever spill less
+        # bucketed per-group optimal windows only ever spill less.
+        # When the caller requests wide windows (E≫V graphs), check
+        # feasibility at that width — clamping to 8 would refuse plans
+        # the requested width makes viable (round-4 yelp finding).
         fr = aligned_spill_stats(indptr, indices, n_in, group_rows,
-                                 min(window_blocks or 8, 8))
+                                 window_blocks or 8)
         if fr > max_spill:
             raise ValueError(
                 f"aligned plan spill fraction {fr:.2f} > {max_spill} — "

@@ -264,3 +264,44 @@ def test_aligned_floor_uniform_form(sorted_hg):
     fl = planner.aligned_plan_floor(al, feat=32)
     assert fl["floor_s"] > 0
     assert fl["edge_stage"]["band_elems"] == int(al.edge_stage.b_dense.size)
+
+
+def test_wide_window_gate_for_skewed_aspect():
+    """E≫V community graphs: the default 8-block window spills even on
+    perfectly sorted input (a community spans many 128-row edge
+    blocks); the ladder must escalate to wide windows instead of
+    falling back to the tree (round-4 yelp finding)."""
+    rng = np.random.default_rng(0)
+    # past the dense (n·e ≤ 32M) and precomp (n² ≤ 80M) gates; ~21
+    # edge-blocks per community (spills at wb=8, fits wb=32)
+    n, e, comm = 10_000, 80_000, 30
+    comm_of = np.sort(rng.integers(0, comm, size=n))
+    starts = np.searchsorted(comm_of, np.arange(comm))
+    ends = np.searchsorted(comm_of, np.arange(comm), side="right")
+    vs, es = [], []
+    for ei in range(e):
+        c = rng.integers(0, comm)
+        lo, hi = int(starts[c]), int(ends[c])
+        k = min(max(int(rng.poisson(3.0)), 2), hi - lo)
+        members = lo + rng.choice(hi - lo, size=k, replace=False)
+        vs.append(members)
+        es.append(np.full(len(members), ei, dtype=np.int64))
+    hg = Hypergraph.from_coo(np.concatenate(vs), np.concatenate(es),
+                             num_nodes=n, num_edges=e)
+    hg, _ = apply_vertex_order(hg, np.arange(n), sort_edges=True)
+    # per-direction spill at wb=8 must show the skew problem this test
+    # exists for (E->V reads edge rows: e/128 blocks per community)
+    s8 = planner.aligned_spill_stats(hg.h_indptr, hg.h_indices,
+                                     hg.num_edges, 128, 8)
+    assert s8 > 0.3, f"fixture not skewed enough (spill {s8:.2f})"
+    plan = planner.plan_aggregation(hg)
+    assert plan.preferred_backend == "aligned"
+    assert plan.aligned is not None
+    # and the wide-window plan must still be exact
+    hgd = hg.device_data()
+    x = np.random.default_rng(1).normal(size=(n, 5)).astype(np.float32)
+    got = fused.hgnn_aggregate(hgd, jnp.asarray(x), None, "sum",
+                               plan=plan.aligned.as_device(),
+                               backend="aligned")
+    want = dense_hgnn_oracle(hg, x, None, "sum")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-2, atol=5e-2)

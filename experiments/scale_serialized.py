@@ -71,7 +71,11 @@ def main():
     print(f"graph: nnz={hg.nnz} gen {gen_s:.0f}s", flush=True)
 
     t0 = time.time()
-    plan = plan_halo(hg, args.shards, local_form="aligned")
+    # raised spill cap: at 12.5M-nnz shards the uniform interior pads
+    # its spill table past the default 2^28 guard (~287M entries at 5%
+    # spill); this host affords the bytes
+    plan = plan_halo(hg, args.shards, local_form="aligned",
+                     aligned_spill_limit=1 << 30)
     plan_s = time.time() - t0
     print(f"halo plan ({plan.local_form} interior): {plan_s:.0f}s, "
           f"comm_frac={plan.comm_fraction():.4f} "

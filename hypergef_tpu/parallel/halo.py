@@ -245,7 +245,8 @@ class HaloPlan:
 
 
 def plan_halo(hg, n_shards: int, fan: int = 8,
-              local_form: str = "tree", first_aggr: str = "sum") -> HaloPlan:
+              local_form: str = "tree", first_aggr: str = "sum",
+              aligned_spill_limit: int = 1 << 28) -> HaloPlan:
     """``local_form="aligned"`` builds the interior V→E stage as banded
     MXU matmuls (uniform :class:`planner.AlignedStage`, stacked across
     shards) instead of gather trees — the sparse fast path for
@@ -361,12 +362,18 @@ def plan_halo(hg, n_shards: int, fan: int = 8,
         if wb_f is None or wb_b is None:
             # interior too spill-heavy for the banded form — tree fallback
             return plan_halo(hg, n_shards, fan, local_form="tree")
+        # aligned_spill_limit: giant shards (100M-nnz regime) pad the
+        # uniform spill table to the max per-group width — callers that
+        # can afford the host/device bytes raise the cap instead of
+        # losing the aligned interior (scale_serialized)
         fwd_stages = [
-            build_aligned_stage(p, i, n_own, 128, wb_f)
+            build_aligned_stage(p, i, n_own, 128, wb_f,
+                                spill_limit=aligned_spill_limit)
             for p, i in int_csrs
         ]
         bwd_stages = [
-            build_aligned_stage(p, i, e_int_pad, 128, wb_b)
+            build_aligned_stage(p, i, e_int_pad, 128, wb_b,
+                                spill_limit=aligned_spill_limit)
             for p, i in t_csrs
         ]
         int_aligned = {

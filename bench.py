@@ -75,10 +75,17 @@ def bench_e2e(args):
     # spread — the single-window protocol's noise floor was the size of
     # the number itself (74 vs 148 µs across round-3 sessions, VERDICT
     # r3 "weak" #3)
-    st = tr.epoch_device_time_stats(split["train"], iters=args.iters, windows=5)
+    # min-window rule (same as the autotuner's): a ~100 µs epoch × 20
+    # iters is a 2 ms window differenced against multi-ms tunnel
+    # dispatch jitter — the round-4 [28, 212] µs spread WAS that jitter.
+    # Pilot-estimate, then widen the chained loop until each window
+    # holds ≥20 ms of device compute.
+    st = tr.epoch_device_time_stats(split["train"], iters=args.iters, windows=5,
+                                    min_window_s=0.02)
     if st["median_s"] <= 0:  # windows swamped by dispatch jitter — widen
         _log("bench_e2e: zero median window (dispatch jitter) — retrying with 5x iters")
-        st = tr.epoch_device_time_stats(split["train"], iters=args.iters * 5, windows=5)
+        st = tr.epoch_device_time_stats(split["train"], iters=args.iters * 5, windows=5,
+                                        min_window_s=0.1)
     t_s = st["median_s"]
     if t_s <= 0:
         raise RuntimeError(
@@ -98,6 +105,7 @@ def bench_e2e(args):
         "per_epoch_us_spread": [round(st["min_s"] * 1e6, 1),
                                 round(st["max_s"] * 1e6, 1)],
         "windows": st["windows"],
+        "iters_per_window": st.get("iters", args.iters),
         "nnz": hg.nnz,
         "baseline": "RTX3090 hgsys fused e2e train epoch 20newsW100 nhid=32 = 1.471ms (BASELINE.md §2)",
         "note": "device time per full train step (fwd+nll+bwd+Adam), host dispatch excluded; 20news-shaped synthetic hypergraph; value = median over independent windows, spread = [min,max]",

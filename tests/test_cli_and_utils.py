@@ -199,3 +199,10 @@ def test_epoch_device_time_stats_shape():
     assert len(st["samples_s"]) == 3
     assert st["min_s"] <= st["median_s"] <= st["max_s"]
     assert st["median_s"] >= 0
+    assert st["iters"] == 3
+
+    # min-window rule (round-4 e2e hygiene): a huge min_window_s must
+    # widen the chained loop beyond the requested iters
+    st = tr.epoch_device_time_stats(
+        split["train"], iters=2, windows=1, repeats=1, min_window_s=0.05)
+    assert st["iters"] > 2

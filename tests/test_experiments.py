@@ -101,6 +101,30 @@ def test_minibatch_bench_smoke(tmp_path):
     assert int(mb_row.split(",")[-1]) <= 3
 
 
+def test_serve_bench_smoke(tmp_path):
+    """Serving-path perf driver: export/load/latency row with the
+    artifact-vs-live parity column (asserted < 1e-4 inside the driver)."""
+    import experiments.serve_bench as sb
+
+    sb.WORKLOADS["tiny"] = (600, 300, 3, 5.0, 8)
+    try:
+        sys.argv = ["serve_bench.py", "--workloads", "tiny",
+                    "--epochs", "10", "--calls", "8",
+                    "--artifact-dir", str(tmp_path),
+                    "--out", str(tmp_path / "serve.csv")]
+        sb.main()
+    finally:
+        del sb.WORKLOADS["tiny"]
+    body = open(tmp_path / "serve.csv").read()
+    assert body.startswith("workload,nnz,feat,backend,export_s,artifact_mb,")
+    row = [l for l in body.splitlines() if l.startswith("tiny,")][0]
+    cols = row.split(",")
+    assert float(cols[5]) > 0          # artifact_mb
+    assert float(cols[8]) > 0          # warm_ms_median
+    assert float(cols[12]) > 0         # dev_us_forward
+    assert float(cols[-1]) < 1e-4      # parity_max_abs
+
+
 def test_scale_serialized_smoke(tmp_path):
     """Serialized halo measurement driver (100M artifact) at toy scale."""
     r = run("scale_serialized.py", "--nodes", "4000", "--edges", "2000",

@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--ici-gbps", type=float, default=45.0)
     ap.add_argument("--out",
                     default="experiments/results/scale_serialized_r4.csv")
+    ap.add_argument("--plan-cache", default="/tmp/hypergef_plancache_scale")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -73,9 +74,14 @@ def main():
     t0 = time.time()
     # raised spill cap: at 12.5M-nnz shards the uniform interior pads
     # its spill table past the default 2^28 guard (~287M entries at 5%
-    # spill); this host affords the bytes
-    plan = plan_halo(hg, args.shards, local_form="aligned",
-                     aligned_spill_limit=1 << 30)
+    # spill); this host affords the bytes.  Content-keyed cache: the
+    # 100M-nnz plan build is ~17 min host-side — cache it so a re-run
+    # (e.g. after an OOM fix in the executor) re-measures in minutes.
+    from hypergef_tpu.sparse.plancache import cached_plan_halo
+
+    plan = cached_plan_halo(hg, args.shards, cache_dir=args.plan_cache,
+                            local_form="aligned",
+                            aligned_spill_limit=1 << 30)
     plan_s = time.time() - t0
     print(f"halo plan ({plan.local_form} interior): {plan_s:.0f}s, "
           f"comm_frac={plan.comm_fraction():.4f} "

@@ -173,7 +173,14 @@ def serialized_halo_forward(
     compute_j = jax.jit(compute)
     ret_all = []
     shard_s = []
+    ops = ret = None
     for d in range(D):
+        # Release the previous shard's device tables BEFORE staging the
+        # next: at ~12M nnz/shard two shards' aligned tables alive at
+        # once exhaust v5e HBM (observed RESOURCE_EXHAUSTED on the
+        # 100M-nnz 8-shard run) — serialized execution must hold exactly
+        # one shard's operands at a time.
+        del ops, ret
         ops = _shard_ops(plan, d, jnp)
         wdiag_d = None if wd is None else jnp.asarray(wd[d])
         t0 = _time.perf_counter()
@@ -182,6 +189,7 @@ def serialized_halo_forward(
         ret_np = np.asarray(ret)  # fetch = device fence
         shard_s.append(_time.perf_counter() - t0)
         ret_all.append(ret_np)
+    del ops, ret
     ret_all = np.stack(ret_all)  # [src, dst, b_cap, F]
     ret_in = ret_all.transpose(1, 0, 2, 3)  # [recv, src, b_cap, F]
 
@@ -195,9 +203,12 @@ def serialized_halo_forward(
 
     combine_j = jax.jit(combine)
     outs = []
+    ops = None
     for d in range(D):
+        del ops  # one shard's tables on device at a time (see phase 2)
         ops = _shard_ops(plan, d, jnp)
         outs.append(np.asarray(combine_j(jnp.asarray(ret_in[d]), ops)))
+    del ops
     out_own = np.concatenate(outs, axis=0)  # [D·n_own, F]
 
     if stats is not None:

@@ -196,16 +196,18 @@ def bench_kernel(args):
     def step(a):
         return fused.hgnn_aggregate(hgd, a, None, "sum", plan=plan, backend=backend)
 
-    r = device_time_per_iter(step, x0, iters=args.iters)
+    iters_used = args.iters
+    r = device_time_per_iter(step, x0, iters=iters_used)
     if r["per_iter_s"] <= 0 or r.get("noisy"):
         _log(f"bench_kernel[{args.config}]: noisy window — retrying 5x iters")
-        r = device_time_per_iter(step, x0, iters=args.iters * 5)
+        iters_used = args.iters * 5  # advisor r4: track the actual window
+        r = device_time_per_iter(step, x0, iters=iters_used)
     # min-window rule (matches the e2e leg): widen until the differenced
     # window holds >=20 ms of device compute so tunnel-dispatch jitter
-    # amortizes out of the per-iter number
-    iters_used = args.iters
+    # amortizes out of the per-iter number.  max() keeps the widening
+    # from SHRINKING the window relative to the noisy-retry measurement.
     if r["per_iter_s"] > 0 and r["per_iter_s"] * iters_used < 0.02:
-        iters_used = int(np.ceil(0.02 / r["per_iter_s"]))
+        iters_used = max(iters_used, int(np.ceil(0.02 / r["per_iter_s"])))
         _log(f"bench_kernel[{args.config}]: widening window to "
              f"{iters_used} iters (min-window rule)")
         r = device_time_per_iter(step, x0, iters=iters_used)

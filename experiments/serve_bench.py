@@ -29,7 +29,7 @@ Per workload, measured in one process:
 
 Run on TPU:
     nohup python experiments/serve_bench.py \
-        --out experiments/results/serve_r4.csv > /tmp/serve_r4.log 2>&1 &
+        --out experiments/results/serve_r5.csv > /tmp/serve_r5.log 2>&1 &
 """
 
 import argparse
@@ -72,7 +72,7 @@ def _lat_stats(fn, x, calls):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="experiments/results/serve_r4.csv")
+    ap.add_argument("--out", default="experiments/results/serve_r5.csv")
     ap.add_argument("--workloads", default=",".join(WORKLOADS))
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--calls", type=int, default=50)
@@ -92,10 +92,22 @@ def main():
         "warm_ms_median,warm_ms_p95,qps,direct_ms_median,"
         "dev_us_forward,dev_us_direct,parity_max_abs"
     )
+    # appending under a schema change silently misaligns columns
+    # (advisor r4): verify the existing header matches the driver's; if
+    # not, move the stale file aside and start fresh.
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            old_header = fh.readline().strip()
+        if old_header != header:
+            stale = args.out + ".stale"
+            os.replace(args.out, stale)
+            print(f"stale header in {args.out} (moved to {stale}); "
+                  f"starting fresh", flush=True)
     fresh = not os.path.exists(args.out)
     with open(args.out, "a") as f:
         if fresh:
             print(header, file=f, flush=True)
+        failures = []
         for wname in args.workloads.split(","):
             n, e, ncls, avg, feat = WORKLOADS[wname]
             hg, y = homophilic_hypergraph(n, e, ncls, avg_edge_size=avg, seed=21)
@@ -153,12 +165,19 @@ def main():
                    f"{warm['median_ms']:.3f},{warm['p95_ms']:.3f},"
                    f"{qps:.1f},{direct['median_ms']:.3f},"
                    f"{dev_fwd:.1f},{dev_dir:.1f},{parity:.2e}")
+            # parity gates the row (advisor r4: a diverging artifact
+            # must not persist unflagged), and a failure on one
+            # workload must not truncate the sweep
+            if parity >= 1e-4:
+                failures.append(wname)
+                row += ",PARITY_FAIL"
+                print(f"{wname}: serving artifact diverges from live "
+                      f"forward ({parity:.2e}) — row flagged", flush=True)
             print(row, flush=True)
             print(row, file=f, flush=True)
-            assert parity < 1e-4, (
-                f"{wname}: serving artifact diverges from live forward "
-                f"({parity:.2e})")
             del meta
+    if failures:
+        raise SystemExit(f"parity failures: {failures}")
 
 
 if __name__ == "__main__":

@@ -202,7 +202,19 @@ def test_epoch_device_time_stats_shape():
     assert st["iters"] == 3
 
     # min-window rule (round-4 e2e hygiene): a huge min_window_s must
-    # widen the chained loop beyond the requested iters
+    # widen the chained loop beyond the requested iters.  The window
+    # measurement is stubbed to a fixed positive pilot so the widening
+    # math is exercised deterministically — a real differenced window
+    # can measure <= 0 under scheduler jitter, which legitimately skips
+    # widening and made this assertion flaky (advisor r4).
+    seen_iters = []
+
+    def fixed_windows(train_idx, iters, windows, repeats):
+        seen_iters.append(iters)
+        return [0.001] * windows
+
+    tr._epoch_windows = fixed_windows
     st = tr.epoch_device_time_stats(
         split["train"], iters=2, windows=1, repeats=1, min_window_s=0.05)
-    assert st["iters"] > 2
+    assert st["iters"] == 50  # ceil(0.05 s / 1 ms pilot)
+    assert seen_iters == [2, 50]  # pilot at requested iters, then widened

@@ -129,12 +129,20 @@ class AlignedStageBDev:
     num_segments: int = 0
     group_rows: int = 128
     block_rows: int = 128
+    # static fast-path flags (set at plan→device conversion): with ONE
+    # band bucket base_slot is the identity permutation and the assembly
+    # gather can be skipped; likewise for spill when every group spills
+    # into one bucket in order.  Saves 1-2 kernels x ~4.4 us fixed cost
+    # per stage at mid-size (round-5 mandate #3).
+    base_identity: bool = False
+    spill_identity: bool = False
 
 
 jax.tree_util.register_dataclass(
     AlignedStageBDev,
     data_fields=["buckets", "spills", "base_slot", "spill_slot", "counts"],
-    meta_fields=["num_inputs", "num_segments", "group_rows", "block_rows"],
+    meta_fields=["num_inputs", "num_segments", "group_rows", "block_rows",
+                 "base_identity", "spill_identity"],
 )
 
 
@@ -413,7 +421,10 @@ def _apply_aligned_b(x, st: AlignedStageBDev):
             preferred_element_type=jnp.float32,
         ))  # [ng_b, G, F]
     cat = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    base = jnp.take(cat, st.base_slot, axis=0)  # [n_groups, G, F]
+    if st.base_identity:
+        base = cat  # single bucket covering all groups in order
+    else:
+        base = jnp.take(cat, st.base_slot, axis=0)  # [n_groups, G, F]
     if st.spills:
         xz = jnp.pad(x, ((0, 1), (0, 0))).astype(jnp.bfloat16)  # zero row
         souts = []
@@ -426,9 +437,12 @@ def _apply_aligned_b(x, st: AlignedStageBDev):
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ))
-        souts.append(jnp.zeros((1, g_rows, f), jnp.float32))
-        scat = jnp.concatenate(souts, axis=0)
-        base = base + jnp.take(scat, st.spill_slot, axis=0)
+        if st.spill_identity:
+            base = base + souts[0]  # every group spills, one bucket, in order
+        else:
+            souts.append(jnp.zeros((1, g_rows, f), jnp.float32))
+            scat = jnp.concatenate(souts, axis=0)
+            base = base + jnp.take(scat, st.spill_slot, axis=0)
     return base.reshape(-1, f)[: st.num_segments]
 
 

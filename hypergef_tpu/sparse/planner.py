@@ -290,6 +290,19 @@ class TreePlan:
                 num_segments=st.num_segments,
                 group_rows=st.group_rows,
                 block_rows=st.block_rows,
+                # static identity detection → skip assembly gathers in
+                # the apply (one fewer kernel each; round-5 mandate #3)
+                base_identity=bool(
+                    np.array_equal(st.base_slot,
+                                   np.arange(len(st.base_slot)))),
+                # identity requires the single bucket to cover EVERY
+                # group: a trailing non-spilling group's zero-row slot
+                # (== m_total) would continue the arange and alias
+                spill_identity=bool(
+                    len(st.spills) == 1
+                    and st.spills[0].b_spill.shape[0] == len(st.spill_slot)
+                    and np.array_equal(st.spill_slot,
+                                       np.arange(len(st.spill_slot)))),
             )
         if isinstance(st, AlignedStage):
             from hypergef_tpu.ops.tree import AlignedStageDev
@@ -1476,6 +1489,61 @@ def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
     return best_off, best_w
 
 
+# Per-XLA-kernel fixed cost, measured on v5e (small_floor_r4.txt: the
+# cora-regime isolation put a=4.42 us per dispatched program/kernel).
+# Every band bucket costs ~2 kernels at runtime (window block-gather +
+# band dot); every spill bucket likewise (row gather + spill dot).  The
+# round-4 FLOOR table showed mid-size graphs losing 25-41% of their
+# kernel time to this fixed cost across ~10+ constituent kernels — so
+# bucket merging must price the *kernel count*, not just padded bytes.
+ALIGNED_KERNEL_FIXED_S = 4.4e-6
+ALIGNED_KERNELS_PER_BUCKET = 2
+
+
+def _merge_buckets_cost(per_group_width, unit_cost_s,
+                        fixed_s=ALIGNED_KERNEL_FIXED_S
+                        * ALIGNED_KERNELS_PER_BUCKET,
+                        max_buckets=None):
+    """Cost-aware width-class merging (round-5 mandate #3).
+
+    Each distinct width is one bucket = one gather + one dot kernel at
+    ~``ALIGNED_KERNEL_FIXED_S`` fixed cost each.  Greedily merge the
+    adjacent width-class pair whose added streaming cost (widening every
+    group of the smaller class to the larger width, at ``unit_cost_s``
+    seconds per group per unit width) is smallest, while that cost stays
+    below the per-bucket fixed cost being removed.  ``max_buckets``
+    forces merging down regardless of cost (upper-bounds kernel count).
+    Returns the merged per-group widths (each group's width only ever
+    grows, so windows only widen — coverage never shrinks).
+    """
+    values = np.asarray(per_group_width)
+    uniq, cnts = np.unique(values, return_counts=True)
+    widths = [int(u) for u in uniq]
+    counts = [int(c) for c in cnts]
+    rep = {int(u): int(u) for u in uniq}
+    while len(widths) > 1:
+        added = [counts[i] * (widths[i + 1] - widths[i]) * unit_cost_s
+                 for i in range(len(widths) - 1)]
+        i = int(np.argmin(added))
+        forced = max_buckets is not None and len(widths) > max_buckets
+        # reaching ONE bucket additionally removes the output assembly
+        # gather (the slot maps become identity — see AlignedStageBDev
+        # base_identity/spill_identity), worth one more kernel's fixed
+        # cost on top of the bucket's own gather+dot pair
+        eff_fixed = fixed_s
+        if len(widths) == 2:
+            eff_fixed += ALIGNED_KERNEL_FIXED_S
+        if added[i] >= eff_fixed and not forced:
+            break
+        for k in rep:
+            if rep[k] == widths[i]:
+                rep[k] = widths[i + 1]
+        counts[i + 1] += counts[i]
+        del widths[i], counts[i]
+    return np.asarray([rep[int(v)] for v in values.reshape(-1)],
+                      dtype=values.dtype).reshape(values.shape)
+
+
 def _merge_small_buckets(values, min_count):
     """Map each distinct value to a representative ≥ it so no bucket has
     fewer than ``min_count`` members (small buckets merge upward into the
@@ -1546,9 +1614,16 @@ def build_aligned_stage_bucketed(
         grp, blk, cnt_per_group, nb, min(max_width, nb), G, feat_bytes,
         block_rows=block_rows, spill_fudge=spill_fudge,
     )
-    # merge rare widths upward: a bucket is one compiled matmul — keep ≤~4
-    min_groups = max(8, n_groups // 32)
-    wid = _merge_small_buckets(wid, min_groups)
+    # merge width classes cost-awarely: each bucket is a window gather +
+    # band dot pair of kernels at ~4.4 us fixed cost apiece (round-5
+    # mandate #3 — the old "rare widths upward" rule left 3+ band
+    # buckets whose fixed cost dwarfed the padding it avoided at
+    # mid-size).  Unit cost of widening one group by one block: the
+    # extra band-table elements through the MXU A-port + the extra
+    # window source rows streamed from HBM.
+    band_unit_s = (G * block_rows) / ALIGNED_A_ELEM_RATE \
+        + (block_rows * feat_bytes) / ALIGNED_STREAM_BPS
+    wid = _merge_buckets_cost(wid, band_unit_s)
     # re-clamp offsets: merging only widens windows ([off, off+w') ⊇
     # [off, off+w)), but off + w' must stay within the block count
     off = np.minimum(off, np.maximum(nb - wid, 0))
@@ -1617,7 +1692,14 @@ def build_aligned_stage_bucketed(
             sw_of = _merge_small_buckets(sw_of, max(8, len(spilling) // 8))
         else:
             sw_of = -(-per_g[spilling] // 8) * 8
-            sw_of = _merge_small_buckets(sw_of, max(4, len(spilling) // 16))
+            # cost-aware merge (round-5 mandate #3): each spill bucket is
+            # a row gather + small dot at ~4.4 us fixed cost apiece, and
+            # the round-4 plans carried 7-11 spill buckets per stage.
+            # Widening a group's spill slot count costs only the extra
+            # int8 band column per slot (padded slots gather the shared
+            # zero row — measured free, probe_spill_pad); so the merge
+            # almost always collapses spills to one or two buckets.
+            sw_of = _merge_buckets_cost(sw_of, G / ALIGNED_A_ELEM_RATE)
         total_entries = int(G * sw_of.sum())
         if total_entries > spill_limit:
             raise MemoryError(

@@ -400,11 +400,25 @@ def _apply_aligned(x, st: AlignedStageDev):
     return out.reshape(n_groups * st.group_rows, f)[: st.num_segments]
 
 
+def aligned_pallas_enabled() -> bool:
+    """Fused-Pallas aligned apply switch (round-5 mandate #3): set
+    ``HYPERGEF_ALIGNED_PALLAS=1`` to run each band bucket as one fused
+    Pallas kernel (ops/aligned_pallas) instead of the XLA kernel chain.
+    Read at trace time — flip between jit calls, not inside one."""
+    import os
+
+    return os.environ.get("HYPERGEF_ALIGNED_PALLAS", "0") == "1"
+
+
 def _apply_aligned_b(x, st: AlignedStageBDev):
     """Bucketed aligned apply: one band matmul per width bucket + one
     small matmul per spill bucket, assembled by two block-granular
     ([G, F]-row) gathers.  Tables ride int8 and cast to bf16 at the dot
     operand (fused convert — half the streamed band bytes)."""
+    if aligned_pallas_enabled():
+        from hypergef_tpu.ops.aligned_pallas import apply_aligned_b_pallas
+
+        return apply_aligned_b_pallas(x, st)
     f = x.shape[1]
     g_rows = st.group_rows
     blk = st.block_rows

@@ -55,16 +55,32 @@ class HyperedgeBatch:
     num_real_edges: int
 
 
-def _padded_csr(indptr, indices, rows_pad, nnz_pad):
+def _padded_csr(indptr, indices, rows_pad, nnz_pad, pad_index):
     """Pad a CSR to (rows_pad rows, nnz_pad entries): real rows first,
-    ghost last row absorbs the padded entries (indices → 0)."""
+    ghost last row absorbs the padded entries.
+
+    ``pad_index`` MUST be the *other side's ghost row* (its last padded
+    row), not 0: the fused ops' scatter-free VJP
+    (``ops.segments.incidence_gather_sum``) computes ``dx = Mᵀ ȳ`` by
+    swapping the two CSRs, which is exact only when they encode exact
+    transposes.  With pad entries at index 0 the encoded H carried a
+    spurious [ghost_row, 0] entry of multiplicity ``nnz_pad - nnz``
+    whose transpose lived at [other_ghost, 0] instead — injecting a
+    pad-count-sized bogus gradient through row 0 into the weights
+    (round-5 diagnosis of the minibatch convergence failure: the
+    forward was exact, the gradient was off by ~90x).  Padding both
+    sides with their ghost indices makes the extra mass a closed
+    ghost↔ghost loop: both CSRs pad the same nnz to the same nnz_pad,
+    so the [ghost, ghost] multiplicities agree and the pair is an exact
+    transpose; the loop never touches a real row in value or gradient.
+    """
     rows = len(indptr) - 1
     nnz = len(indices)
     out_ptr = np.zeros(rows_pad + 1, dtype=np.int64)
     out_ptr[1 : rows + 1] = indptr[1:]
     out_ptr[rows + 1 :] = nnz  # empty padding rows
     out_ptr[-1] = nnz_pad  # ghost row holds the padded slots
-    out_idx = np.zeros(nnz_pad, dtype=np.int32)
+    out_idx = np.full(nnz_pad, pad_index, dtype=np.int32)
     out_idx[:nnz] = indices
     return out_ptr, out_idx
 
@@ -79,12 +95,24 @@ class HyperedgeSampler:
         weighted: bool = False,
         seed: int = 0,
         drop_last: bool = True,
+        deg_correction: bool = True,
     ):
+        """``deg_correction`` (default on) applies the Horvitz-Thompson
+        1/p estimator to the E→V stage: a batch of b of E hyperedges
+        sums only a p = b/E fraction of each vertex's incident edges,
+        so without the E/b rescale train-time activations are
+        systematically ~p× smaller than the full-graph forward used at
+        evaluation (the round-4 minibatch runs plateaued 20-40% below
+        band partly from this train/eval scale mismatch).  The rescale
+        rides on degV — the per-vertex factor applied at the stage
+        output — so it corrects every layer and stays exact (factor 1)
+        when the batch covers all edges."""
         self.hg = hg
         self.batch_edges = batch_edges
         self.weighted = weighted
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.deg_correction = deg_correction
         sizes = hg.edge_sizes().astype(np.float64)
         self._probs = sizes / sizes.sum() if weighted else None
 
@@ -137,7 +165,8 @@ class HyperedgeSampler:
         ht_indptr = np.zeros(len(edges) + 1, dtype=np.int64)
         np.cumsum(sizes, out=ht_indptr[1:])
         ht_indices = local_of[members].astype(np.int32)
-        ht_ptr_p, ht_idx_p = _padded_csr(ht_indptr, ht_indices, e_pad, nnz_pad)
+        ht_ptr_p, ht_idx_p = _padded_csr(ht_indptr, ht_indices, e_pad,
+                                         nnz_pad, pad_index=n_pad - 1)
 
         # local H CSR (vertex-major) from the COO
         e_local = np.repeat(np.arange(len(edges), dtype=np.int64), sizes)
@@ -147,7 +176,8 @@ class HyperedgeSampler:
         h_indptr = np.zeros(len(verts) + 1, dtype=np.int64)
         np.add.at(h_indptr, v_local + 1, 1)
         np.cumsum(h_indptr, out=h_indptr)
-        h_ptr_p, h_idx_p = _padded_csr(h_indptr, h_indices, n_pad, nnz_pad)
+        h_ptr_p, h_idx_p = _padded_csr(h_indptr, h_indices, n_pad,
+                                       nnz_pad, pad_index=e_pad - 1)
 
         # segment-id views (for the xla/oracle path)
         ht_seg = np.repeat(
@@ -160,6 +190,9 @@ class HyperedgeSampler:
         # degrees sliced from the full graph (ghost rows → 1)
         degV = np.ones((n_pad, 1), dtype=np.float32)
         degV[: len(verts)] = hg.degV[verts]
+        if self.deg_correction and len(edges) < hg.num_edges:
+            # Horvitz-Thompson 1/p on the E→V sum (see __init__)
+            degV[: len(verts)] *= hg.num_edges / len(edges)
         degE = np.ones((e_pad, 1), dtype=np.float32)
         degE[: len(edges)] = hg.degE[edges]
 

@@ -263,6 +263,16 @@ def bench_kernel(args):
             f"(V->E {fl['edge_stage']['unique_spill_rows']}, E->V "
             f"{fl['vertex_stage']['unique_spill_rows']} rows)"
         )
+    # floor-honesty rule (VERDICT r4 weak #4): a leg must never publish
+    # >100% of floor silently — the floor constants are calibration with
+    # ±5% session drift, not physics at that resolution
+    if rec.get("pct_of_hw_floor", 0) > 100.0:
+        rec["floor_note"] = (
+            "pct_of_hw_floor > 100%: the floor's measured rate constants "
+            "carry ±5% session-to-session drift (BENCH_r04 95.4% vs "
+            "bench_r4_session 105.2% on one leg); treat as calibration "
+            "bound, not physics"
+        )
     return rec
 
 

@@ -52,8 +52,15 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ici-gbps", type=float, default=45.0)
     ap.add_argument("--out",
-                    default="experiments/results/scale_serialized_r4.csv")
+                    default="experiments/results/scale_serialized_r5.csv")
     ap.add_argument("--plan-cache", default="/tmp/hypergef_plancache_scale")
+    ap.add_argument("--epoch", action="store_true",
+                    help="also measure ONE serialized full train step "
+                    "(fwd+loss+bwd+Adam; round-5 mandate #7) and append "
+                    "an epoch row")
+    ap.add_argument("--skip-layer", action="store_true",
+                    help="skip the layer measurement (epoch-only rerun "
+                    "against the cached plan)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -89,6 +96,52 @@ def main():
 
     x = np.random.default_rng(0).normal(
         size=(hg.num_nodes, args.feat)).astype(np.float32)
+
+    rows = [
+        "# 100M-nnz halo layer r5: serialized MEASUREMENT (one chip, "
+        "host-staged exchanges); ICI transfer is the only modeled term",
+        "quantity,value,unit,provenance",
+        f"graph_nnz,{hg.nnz},nnz,generated community graph "
+        f"({args.nodes}x{args.edges} comm={args.comm})",
+        f"plan_build,{plan_s:.0f},s,MEASURED host ({plan.local_form} "
+        "interior)",
+    ]
+
+    if args.epoch:
+        # serialized full train step (round-5 mandate #7): epoch = one
+        # full-batch fwd+loss+bwd+Adam step (reference protocol)
+        from hypergef_tpu.parallel.serial_halo_train import (
+            serialized_halo_train_epochs,
+        )
+
+        ncls = 8
+        y = np.random.default_rng(1).integers(
+            0, ncls, size=hg.num_nodes).astype(np.int32)
+        mask = (np.random.default_rng(2).random(hg.num_nodes) < 0.5
+                ).astype(np.float32)
+        est = {}
+        t0 = time.time()
+        params, losses = serialized_halo_train_epochs(
+            plan, x, y, mask, nhid=args.feat, nclass=ncls, epochs=1,
+            stats=est)
+        ep_wall = time.time() - t0
+        dev_s = float(np.sum(est.get("shard_s", [0.0])))
+        print(f"serialized TRAIN EPOCH wall {ep_wall:.1f}s "
+              f"(fwd layer-shard device+staging {dev_s:.1f}s) "
+              f"loss {losses[0]:.4f}", flush=True)
+        rows.append(
+            f"train_epoch_wall,{ep_wall:.1f},s,MEASURED(serialized) one "
+            "full-batch fwd+loss+bwd+Adam step on one chip incl host "
+            "staging (2-layer HGNN nhid=%d)" % args.feat)
+        rows.append(
+            f"train_epoch_loss,{losses[0]:.4f},nll,sanity (finite, "
+            f"~ln({ncls})={np.log(ncls):.2f} at init)")
+
+    if args.skip_layer:
+        with open(args.out, "a" if args.epoch else "w") as fh:
+            fh.write("\n".join(rows) + "\n")
+        print("\n".join(rows), flush=True)
+        return
 
     # full serialized layer (output sanity + wall provenance + buffers)
     stats = {}
@@ -136,13 +189,7 @@ def main():
         args.shards * args.ici_gbps * 1e9
     )
     t_layer = t_shard + t_ici
-    rows = [
-        "# 100M-nnz halo layer r4: serialized MEASUREMENT (one chip, "
-        "host-staged exchanges); ICI transfer is the only modeled term",
-        "quantity,value,unit,provenance",
-        f"graph_nnz,{hg.nnz},nnz,generated community graph "
-        f"({args.nodes}x{args.edges} comm={args.comm})",
-        f"plan_build,{plan_s:.0f},s,MEASURED host ({plan.local_form} interior)",
+    rows += [
         f"shard_compute,{t_shard*1e3:.3f},ms,MEASURED(serialized) chained "
         f"on v5e; all {args.shards} shards share this program shape",
         f"shard_ns_per_nnz,{t_shard/shard_nnz*1e9:.3f},ns/nnz,MEASURED(serialized)",

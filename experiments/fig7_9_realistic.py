@@ -231,6 +231,25 @@ def main():
             )
             print(srow, flush=True)
             print(srow, file=f, flush=True)
+            # component floor accounting for aligned rows (r4 added these
+            # by hand; the driver now owns them so every refresh carries
+            # honest per-row floor context)
+            if "aligned" in times and plan.aligned is not None:
+                from hypergef_tpu.sparse.planner import aligned_plan_floor
+
+                fl = aligned_plan_floor(plan.aligned, args.feat)
+                m_us = times["aligned"] * 1e6
+                f_us = fl["floor_s"] * 1e6
+                frow = (
+                    f"# FLOOR,{cname},hw_floor_us={f_us:.1f},"
+                    f"measured_us={m_us:.2f},"
+                    f"pct_of_floor={100.0*f_us/m_us:.1f},"
+                    f"unique_spill_rows="
+                    f"{fl['edge_stage']['unique_spill_rows']}+"
+                    f"{fl['vertex_stage']['unique_spill_rows']}"
+                )
+                print(frow, flush=True)
+                print(frow, file=f, flush=True)
 
 
 if __name__ == "__main__":

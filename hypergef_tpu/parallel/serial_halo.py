@@ -28,8 +28,16 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _verbose() -> bool:
+    import os
+
+    return os.environ.get("HYPERGEF_SERIAL_VERBOSE", "0") == "1"
+
+
 def _shard_ops(plan, d, jnp):
     """Device operand pytree for shard ``d`` (host→device per shard)."""
+    if _verbose():
+        return _shard_ops_verbose(plan, d, jnp)
     j = jnp.asarray
     ops = dict(
         int_levels=tuple((j(g[d]), j(m[d])) for g, m in plan.int_levels),
@@ -49,6 +57,78 @@ def _shard_ops(plan, d, jnp):
         al = plan.int_aligned
         ops["aligned"] = tuple(
             j(al[leg][k][d])
+            for leg in ("fwd", "bwd")
+            for k in ("b_dense", "win_block", "spill_src", "b_spill")
+        )
+    return ops
+
+
+def _shard_combine_ops(plan, d, jnp):
+    """Owner-combine subset of :func:`_shard_ops` — the only tables the
+    phase-3 combine touches (staging the full shard ops there moved
+    ~5 GB/shard of redundant bytes through the ~30 MB/s tunnel)."""
+    j = jnp.asarray
+    return dict(
+        own_levels=tuple((j(g[d]), j(m[d])) for g, m in plan.own_levels),
+        own_fi=j(plan.own_final_idx[d]),
+        own_fm=j(plan.own_final_mask[d]),
+        degV_own=j(plan.degV_own[d]),
+    )
+
+
+def _shard_ops_verbose(plan, d, jnp):
+    """Diagnostic twin of :func:`_shard_ops`: stages each array with a
+    forced round-trip fence and logs size + time, so a wedged tunnel
+    transfer is localized to the exact array (round-5: the first 100M
+    serialized attempt hung >45 min with the client futex-blocked and
+    no progress signal anywhere).  Enable: HYPERGEF_SERIAL_VERBOSE=1."""
+    import sys
+    import time as _t
+
+    import numpy as np
+
+    def j(a, name):
+        a = np.ascontiguousarray(a)
+        t0 = _t.perf_counter()
+        dev = jnp.asarray(a)
+        # force the transfer to complete: tiny scalar fetch (the only
+        # reliable fence on this backend — block_until_ready is a no-op)
+        _ = np.asarray(dev.ravel()[:1])
+        dt = _t.perf_counter() - t0
+        if a.nbytes > 1 << 20:
+            print(f"    [shard {d}] {name}: {a.nbytes/1e6:.0f} MB "
+                  f"in {dt:.1f}s", file=sys.stderr, flush=True)
+        return dev
+
+    ops = dict(
+        int_levels=tuple((j(g[d], f"int_l{i}g"), j(m[d], f"int_l{i}m"))
+                         for i, (g, m) in enumerate(plan.int_levels)),
+        int_fi=j(plan.int_final_idx[d], "int_fi"),
+        int_fm=j(plan.int_final_mask[d], "int_fm"),
+        bnd_levels=tuple((j(g[d], f"bnd_l{i}g"), j(m[d], f"bnd_l{i}m"))
+                         for i, (g, m) in enumerate(plan.bnd_levels)),
+        bnd_fi=j(plan.bnd_final_idx[d], "bnd_fi"),
+        bnd_fm=j(plan.bnd_final_mask[d], "bnd_fm"),
+        asm_idx=j(plan.asm_idx[d], "asm_idx"),
+        e_cn=j(plan.e_counts[d], "e_cn"),
+        v_levels=tuple((j(g[d], f"v_l{i}g"), j(m[d], f"v_l{i}m"))
+                       for i, (g, m) in enumerate(plan.v_levels)),
+        v_fi=j(plan.v_final_idx[d], "v_fi"),
+        v_fm=j(plan.v_final_mask[d], "v_fm"),
+        send_slot=j(plan.send_slot[d], "send_slot"),
+        send_mask=j(plan.send_mask[d], "send_mask"),
+        own_levels=tuple((j(g[d], f"own_l{i}g"), j(m[d], f"own_l{i}m"))
+                         for i, (g, m) in enumerate(plan.own_levels)),
+        own_fi=j(plan.own_final_idx[d], "own_fi"),
+        own_fm=j(plan.own_final_mask[d], "own_fm"),
+        degE=j(plan.degE[d], "degE"),
+        degV_own=j(plan.degV_own[d], "degV_own"),
+        halo_idx=j(plan.halo_idx[d], "halo_idx"),
+    )
+    if plan.local_form == "aligned":
+        al = plan.int_aligned
+        ops["aligned"] = tuple(
+            j(al[leg][k][d], f"aligned_{leg}_{k}")
             for leg in ("fwd", "bwd")
             for k in ("b_dense", "win_block", "spill_src", "b_spill")
         )
@@ -173,6 +253,7 @@ def serialized_halo_forward(
     compute_j = jax.jit(compute)
     ret_all = []
     shard_s = []
+    verbose = _verbose()
     ops = ret = None
     for d in range(D):
         # Release the previous shard's device tables BEFORE staging the
@@ -181,19 +262,31 @@ def serialized_halo_forward(
         # 100M-nnz 8-shard run) — serialized execution must hold exactly
         # one shard's operands at a time.
         del ops, ret
+        t_st = _time.perf_counter()
         ops = _shard_ops(plan, d, jnp)
         wdiag_d = None if wd is None else jnp.asarray(wd[d])
         t0 = _time.perf_counter()
+        if verbose:
+            import sys
+
+            print(f"  [shard {d}] staged in {t0-t_st:.1f}s; computing...",
+                  file=sys.stderr, flush=True)
         ret = compute_j(jnp.asarray(xs[d]), jnp.asarray(halo_in[d]), ops,
                         wdiag_d)
         ret_np = np.asarray(ret)  # fetch = device fence
         shard_s.append(_time.perf_counter() - t0)
+        if verbose:
+            print(f"  [shard {d}] compute+fetch {shard_s[-1]:.1f}s",
+                  file=sys.stderr, flush=True)
         ret_all.append(ret_np)
     del ops, ret
     ret_all = np.stack(ret_all)  # [src, dst, b_cap, F]
     ret_in = ret_all.transpose(1, 0, 2, 3)  # [recv, src, b_cap, F]
 
-    # phase 3 — owner-side combine (small; same chip)
+    # phase 3 — owner-side combine (small; same chip).  Stages ONLY the
+    # owner-combine tables: re-staging the full shard ops here cost
+    # ~5 GB/shard of redundant tunnel transfer at the 100M scale
+    # (~30 MB/s through the tunnel — tens of minutes of pure waste).
     def combine(ret_in_d, ops):
         from hypergef_tpu.ops.tree import apply_levels
 
@@ -206,7 +299,7 @@ def serialized_halo_forward(
     ops = None
     for d in range(D):
         del ops  # one shard's tables on device at a time (see phase 2)
-        ops = _shard_ops(plan, d, jnp)
+        ops = _shard_combine_ops(plan, d, jnp)
         outs.append(np.asarray(combine_j(jnp.asarray(ret_in[d]), ops)))
     del ops
     out_own = np.concatenate(outs, axis=0)  # [D·n_own, F]

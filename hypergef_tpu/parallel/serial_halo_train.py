@@ -229,13 +229,13 @@ def serialized_halo_train_step(
     xw1 = np.stack([np.asarray(progs["linear"](w1, jnp.asarray(xs[d])))
                     for d in range(D)])
     ret_in1, halo_in1 = _layer_forward(plan, progs, jnp, xw1, st)
-    from hypergef_tpu.parallel.serial_halo import _shard_ops
+    from hypergef_tpu.parallel.serial_halo import _shard_combine_ops
 
     h = np.zeros((D, n_own, w1.shape[1]), np.float32)
     ops = None
     for d in range(D):
         del ops
-        ops = _shard_ops(plan, d, jnp)
+        ops = _shard_combine_ops(plan, d, jnp)
         h[d] = np.asarray(progs["combine_relu_fwd"](
             jnp.asarray(ret_in1[d]), ops))
     del ops
@@ -248,7 +248,7 @@ def serialized_halo_train_step(
     ops = None
     for d in range(D):
         del ops
-        ops = _shard_ops(plan, d, jnp)
+        ops = _shard_combine_ops(plan, d, jnp)
         ln, dn = progs["combine_loss_fwd"](
             jnp.asarray(ret_in2[d]), ops, jnp.asarray(y_sh[d]),
             jnp.asarray(m_sh[d]))
@@ -263,7 +263,7 @@ def serialized_halo_train_step(
     ops = None
     for d in range(D):
         del ops
-        ops = _shard_ops(plan, d, jnp)
+        ops = _shard_combine_ops(plan, d, jnp)
         dret_in2[d] = np.asarray(progs["combine_loss_vjp"](
             jnp.asarray(ret_in2[d]), ops, jnp.asarray(y_sh[d]),
             jnp.asarray(m_sh[d]), jnp.asarray(np.float32(denom))))
@@ -282,7 +282,7 @@ def serialized_halo_train_step(
     ops = None
     for d in range(D):
         del ops
-        ops = _shard_ops(plan, d, jnp)
+        ops = _shard_combine_ops(plan, d, jnp)
         dret_in1[d] = np.asarray(progs["combine_relu_vjp"](
             jnp.asarray(ret_in1[d]), ops, jnp.asarray(dh[d])))
     del ops

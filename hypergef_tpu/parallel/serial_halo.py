@@ -251,7 +251,13 @@ def serialized_halo_forward(
         return ret_out
 
     compute_j = jax.jit(compute)
-    ret_all = []
+    # Host-memory discipline (round-5: the 100M run was OOM-KILLED at
+    # 130 GB host RSS in phase 3): the return buffer is preallocated
+    # ONCE ([D, D, b_cap, F] ≈ 20 GB at 100M) and filled per shard —
+    # the list+stack form held it twice; the halo buffers and the
+    # sharded feature copy are released the moment their phase ends.
+    b_cap = plan.send_slot.shape[2]
+    ret_all = np.empty((D, D, b_cap, f), np.float32)  # [src, dst, b_cap, F]
     shard_s = []
     verbose = _verbose()
     ops = ret = None
@@ -273,15 +279,13 @@ def serialized_halo_forward(
                   file=sys.stderr, flush=True)
         ret = compute_j(jnp.asarray(xs[d]), jnp.asarray(halo_in[d]), ops,
                         wdiag_d)
-        ret_np = np.asarray(ret)  # fetch = device fence
+        ret_all[d] = np.asarray(ret)  # fetch = device fence
         shard_s.append(_time.perf_counter() - t0)
         if verbose:
             print(f"  [shard {d}] compute+fetch {shard_s[-1]:.1f}s",
                   file=sys.stderr, flush=True)
-        ret_all.append(ret_np)
-    del ops, ret
-    ret_all = np.stack(ret_all)  # [src, dst, b_cap, F]
-    ret_in = ret_all.transpose(1, 0, 2, 3)  # [recv, src, b_cap, F]
+    del ops, ret, halo_in, halo_out, xs
+    ret_in = ret_all.transpose(1, 0, 2, 3)  # [recv, src, b_cap, F] (view)
 
     # phase 3 — owner-side combine (small; same chip).  Stages ONLY the
     # owner-combine tables: re-staging the full shard ops here cost

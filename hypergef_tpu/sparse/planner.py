@@ -1498,6 +1498,11 @@ def _group_windows_opt(grp, blk, cnt_per_group, nb, max_width, G,
 # bucket merging must price the *kernel count*, not just padded bytes.
 ALIGNED_KERNEL_FIXED_S = 4.4e-6
 ALIGNED_KERNELS_PER_BUCKET = 2
+# padded spill slot gather charge for the merge cost model (see the
+# spill merge site): ~half ALIGNED_GATHER_S_PER_ROW — pads measured
+# free at low padding ratios (probe_spill_pad) but bind at walmart-r5's
+# 3.5x ratio; half-rate splits the difference conservatively
+ALIGNED_SPILL_PAD_GATHER_S = 4e-9
 
 
 def _merge_buckets_cost(per_group_width, unit_cost_s,
@@ -1695,11 +1700,17 @@ def build_aligned_stage_bucketed(
             # cost-aware merge (round-5 mandate #3): each spill bucket is
             # a row gather + small dot at ~4.4 us fixed cost apiece, and
             # the round-4 plans carried 7-11 spill buckets per stage.
-            # Widening a group's spill slot count costs only the extra
-            # int8 band column per slot (padded slots gather the shared
-            # zero row — measured free, probe_spill_pad); so the merge
-            # almost always collapses spills to one or two buckets.
-            sw_of = _merge_buckets_cost(sw_of, G / ALIGNED_A_ELEM_RATE)
+            # Widening a group's spill slot count costs the extra int8
+            # band column per slot PLUS a padded-slot gather charge:
+            # probe_spill_pad measured pads ~free at SBM-60k occupancy,
+            # but walmart r5 regressed 756→1005 µs when merging padded
+            # its 21k unique spill rows to ~74k slots — so pads are
+            # charged at ~half the unique-row rate, which lets small
+            # spill sets still collapse to one bucket while high-spread
+            # stages keep enough width classes to bound padding.
+            spill_unit = (G / ALIGNED_A_ELEM_RATE
+                          + ALIGNED_SPILL_PAD_GATHER_S)
+            sw_of = _merge_buckets_cost(sw_of, spill_unit)
         total_entries = int(G * sw_of.sum())
         if total_entries > spill_limit:
             raise MemoryError(

@@ -138,14 +138,35 @@ def main():
     cfg = TrainConfig(model="HGNN", nhid=32, epochs=args.epochs, warmup=0,
                       seed=8)
 
-    # 2. full-batch step attempt — expected RESOURCE_EXHAUSTED on chip
+    # 2. full-batch step attempt — expected RESOURCE_EXHAUSTED on chip.
+    # Lean formulation (graph/features as jit ARGUMENTS, minimal loss):
+    # the Trainer path additionally chokes on shipping its ~2 GB of
+    # closure constants through the tunnel before ever executing; this
+    # form reaches the chip and fails where it should — the [nnz, F]
+    # gradient intermediates (~10.7 GB each at 42M nnz, several alive)
+    # exceed one chip's HBM.
     if not args.skip_oom_probe:
-        from hypergef_tpu.train import Trainer
+        import jax
+        import jax.numpy as jnp
+
+        from hypergef_tpu.ops import fused
 
         try:
-            tr = Trainer(cfg, hg, x, y)
-            tr.fit(split["train"], epochs=1, warmup=0)
-            rows.append("full_batch_step,ok,status,full-batch step "
+            hgd = hg.device_data()
+
+            @jax.jit
+            def fb_step(w, xv, hgd_):
+                def loss(w_):
+                    z = fused.hgnn_aggregate(hgd_, xv @ w_, None, "sum",
+                                             plan=None, backend="cumsum")
+                    return (z * z).mean()
+
+                return jax.grad(loss)(w)
+
+            w0 = jnp.zeros((args.feat, 32), jnp.float32)
+            g = fb_step(w0, jnp.asarray(x), hgd)
+            float(jnp.sum(g))  # fence
+            rows.append("full_batch_step,ok,status,full-batch grad step "
                         "unexpectedly fit — demo premise void; see log")
             print("full-batch step FIT — premise void", flush=True)
         except Exception as ex:  # noqa: BLE001 — recording the failure IS the point

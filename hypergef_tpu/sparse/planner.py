@@ -1710,7 +1710,13 @@ def build_aligned_stage_bucketed(
             # stages keep enough width classes to bound padding.
             spill_unit = (G / ALIGNED_A_ELEM_RATE
                           + ALIGNED_SPILL_PAD_GATHER_S)
-            sw_of = _merge_buckets_cost(sw_of, spill_unit)
+            # spill buckets charge ONE kernel, not the band pair:
+            # probe_spill_merge_ab (walmart) measured the unmerged
+            # 31-bucket variant at 716 µs vs 777 for 9 buckets — the
+            # many tiny spill gather+dots overlap in a way the serial
+            # band-dot chain cannot, so the fixed-cost model halves
+            sw_of = _merge_buckets_cost(
+                sw_of, spill_unit, fixed_s=ALIGNED_KERNEL_FIXED_S)
         total_entries = int(G * sw_of.sum())
         if total_entries > spill_limit:
             raise MemoryError(
